@@ -1,0 +1,40 @@
+"""pymc3_tpu — a TPU-native probabilistic programming framework.
+
+A ground-up rebuild of the capabilities of PyMC3 3.8 (the Theano-backed PPL)
+on JAX/XLA for TPUs: the model DSL traces to one fused XLA logp+grad program,
+MCMC chains are a ``vmap`` batch axis sharded over device meshes, and all hot
+loops (NUTS tree building, leapfrog, VI steps, SMC mutation) run as on-device
+``lax`` control flow.
+
+Flat ``pm.*`` API surface mirrors ``pymc3/__init__.py:18-50``.
+"""
+
+__version__ = "3.8.0.tpu0"
+
+import logging
+
+_log = logging.getLogger("pymc3_tpu")
+if not logging.root.handlers:
+    _log.setLevel(logging.INFO)
+    if len(_log.handlers) == 0:
+        handler = logging.StreamHandler()
+        _log.addHandler(handler)
+
+from .config import floatX, intX, get_config, set_config
+from . import node
+from . import math
+from .math import (
+    logsumexp, logit, invlogit, expand_packed_triangular, probit, invprobit,
+)
+from .model import (
+    Model, modelcontext, Point, Deterministic, Potential, set_data,
+    ValueGradFunction, fn, fastfn, FreeRV, ObservedRV, TransformedRV,
+)
+from .blocking import ArrayOrdering, DictToArrayBijection
+from .data import Data, Minibatch, get_data, GeneratorAdapter
+from .distributions import *
+from .distributions import transforms
+from . import distributions
+from .exceptions import *
+from .memoize import memoize, clear_cache
+from .vartypes import *

@@ -1,0 +1,89 @@
+"""Global configuration for the TPU-native build.
+
+Replaces the reference's Theano global config handling
+(``pymc3/theanof.py:445-470`` ``set_theano_conf`` and the ``floatX``/``intX``
+casting discipline at ``pymc3/theanof.py:75-101``) with a typed config object
+over ``jax.config``.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any
+
+import numpy as np
+
+__all__ = ["floatX", "intX", "get_config", "set_config", "Config"]
+
+
+@dataclasses.dataclass
+class Config:
+    """Typed global configuration.
+
+    Attributes
+    ----------
+    floatX : str
+        Default float dtype for all continuous computation. ``float32`` is the
+        TPU-native dtype (VPU/MXU); set ``float64`` (requires
+        ``jax.config.update('jax_enable_x64', True)``) for high-precision CPU
+        verification runs.
+    intX : str
+        Default integer dtype.
+    compute_test_value : str
+        'raise' eagerly evaluates test values at model-build time (the JAX
+        analog of Theano's ``compute_test_value='raise'``, ``model.py:818``)
+        so shape/dtype errors surface at declaration, not at trace time.
+    """
+
+    floatX: str = os.environ.get("PYMC3_TPU_FLOATX", "float32")
+    intX: str = "int32"
+    compute_test_value: str = "raise"
+
+
+_config = Config()
+
+
+def get_config() -> Config:
+    return _config
+
+
+def set_config(**kwargs: Any) -> Config:
+    """Update global config fields; returns the config object."""
+    import jax
+
+    for k, v in kwargs.items():
+        if not hasattr(_config, k):
+            raise KeyError(f"unknown config field {k!r}")
+        setattr(_config, k, v)
+    if _config.floatX == "float64":
+        jax.config.update("jax_enable_x64", True)
+        _config.intX = "int64"
+    elif _config.floatX == "float32":
+        _config.intX = "int32"
+    return _config
+
+
+def floatX(x=None):
+    """Cast ``x`` to the configured float dtype, or return the dtype name.
+
+    Mirrors ``pymc3/theanof.py:75`` ``floatX``.
+    """
+    if x is None:
+        return _config.floatX
+    if isinstance(x, (list, tuple)):
+        return np.asarray(x, dtype=_config.floatX)
+    if hasattr(x, "astype"):
+        return x.astype(_config.floatX)
+    return np.asarray(x, dtype=_config.floatX)
+
+
+def intX(x=None):
+    """Cast ``x`` to the configured int dtype, or return the dtype name.
+
+    Mirrors ``pymc3/theanof.py:92`` ``intX``.
+    """
+    if x is None:
+        return _config.intX
+    if hasattr(x, "astype"):
+        return x.astype(_config.intX)
+    return np.asarray(x, dtype=_config.intX)

@@ -1,0 +1,194 @@
+"""Data containers, mirroring ``pymc3/data.py``.
+
+``Data`` (`data.py:442`) is a named mutable array registered on the model and
+swapped with ``pm.set_data``; ``Minibatch`` (`data.py:111`) yields a random
+slice per evaluation for stochastic VI. In the TPU build a Minibatch node
+resolves its slice *inside* the jitted VI step from a per-step PRNG key in the
+environment (``__rng__``), so minibatching is pure device-side indexing — no
+host round-trip per step.
+"""
+from __future__ import annotations
+
+import hashlib
+import io
+import os
+import pkgutil
+import urllib.request
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import floatX, intX
+from .node import NamedNode, Node, as_node, _ev
+from .model import Model, modelcontext
+
+__all__ = ["get_data", "GeneratorAdapter", "Minibatch", "Data",
+           "SharedDataNode", "MinibatchNode", "align_minibatches"]
+
+RNG_ENV_KEY = "__rng__"
+
+_DATA_SEARCH_PATHS = [
+    os.path.join(os.path.dirname(__file__), "datasets"),
+    "/root/reference/pymc3/examples/data",
+]
+
+
+def get_data(filename):
+    """Return a BytesIO for one of the packaged datasets
+    (cf. ``pymc3/data.py:35``). Falls back to the reference checkout's data
+    directory when present."""
+    for base in _DATA_SEARCH_PATHS:
+        path = os.path.join(base, filename)
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                return io.BytesIO(f.read())
+    raise FileNotFoundError(
+        f"dataset {filename!r} not found in {_DATA_SEARCH_PATHS}")
+
+
+class GeneratorAdapter:
+    """Feed a finite/infinite generator of arrays (cf. ``data.py:68``)."""
+
+    def __init__(self, generator):
+        if not hasattr(generator, "__next__"):
+            raise TypeError("Object should be generator-like")
+        self.gen = generator
+        self.tensor = None
+        first = next(generator)
+        self._first = np.asarray(first)
+        self.shape = self._first.shape
+        self.dtype = self._first.dtype
+        self._returned_first = False
+
+    def __next__(self):
+        if not self._returned_first:
+            self._returned_first = True
+            return self._first
+        return np.asarray(next(self.gen))
+
+    def __iter__(self):
+        return self
+
+    def make_variable(self, name="generator"):
+        node = SharedDataNode(name, self._first, model=None, register=False)
+        node._generator = self
+        return node
+
+
+class SharedDataNode(NamedNode):
+    """Named mutable data; the JAX stand-in for a Theano shared variable."""
+
+    def __init__(self, name, value, model=None, register=True, dtype=None):
+        self.name = name
+        self.model = model
+        value = np.asarray(value)
+        if dtype is None:
+            if value.dtype == np.float64 and floatX() == "float32":
+                dtype = floatX()
+            else:
+                dtype = value.dtype
+        self._value = value.astype(dtype)
+        self.version = 0
+        if register and model is not None:
+            model.add_named_variable(self)
+
+    @property
+    def _test_value(self):
+        return self._value
+
+    @_test_value.setter
+    def _test_value(self, v):
+        pass
+
+    def get_value(self):
+        return self._value
+
+    def set_value(self, value):
+        value = np.asarray(value)
+        if value.dtype != self._value.dtype:
+            value = value.astype(self._value.dtype)
+        self._value = value
+        self.version += 1
+
+    def _eval_default(self, env, memo):
+        return jnp.asarray(self._value)
+
+
+class MinibatchNode(NamedNode):
+    """Random-slice view over data for stochastic VI (cf. ``Minibatch``,
+    ``data.py:111``). The slice indices come from the per-step PRNG key in
+    the environment; without one (e.g. test-value evaluation) the leading
+    rows are returned."""
+
+    _counter = [0]
+
+    def __init__(self, data, batch_size, name=None, random_seed=42,
+                 in_memory_size=None):
+        data = np.asarray(data)
+        if data.dtype == np.float64 and floatX() == "float32":
+            data = data.astype(floatX())
+        self.data = data
+        if in_memory_size is not None:
+            self.data = self.data[_slice_from_size(in_memory_size)]
+        self.batch_size = int(batch_size) if not isinstance(batch_size, (list, tuple)) \
+            else batch_size
+        MinibatchNode._counter[0] += 1
+        self.name = name or f"Minibatch_{MinibatchNode._counter[0]}"
+        self.random_seed = random_seed
+        self._fold = int(hashlib.md5(self.name.encode()).hexdigest()[:8], 16)
+
+    @property
+    def _test_value(self):
+        bs = self.batch_size if isinstance(self.batch_size, int) else self.batch_size[0]
+        return self.data[:bs]
+
+    @_test_value.setter
+    def _test_value(self, v):
+        pass
+
+    @property
+    def total_size(self):
+        return self.data.shape[0]
+
+    def _eval_default(self, env, memo):
+        bs = self.batch_size if isinstance(self.batch_size, int) else self.batch_size[0]
+        data = jnp.asarray(self.data)
+        if RNG_ENV_KEY in env:
+            key = jax.random.fold_in(env[RNG_ENV_KEY], self._fold)
+            idx = jax.random.randint(key, (bs,), 0, data.shape[0])
+            return jnp.take(data, idx, axis=0)
+        return data[:bs]
+
+
+def Minibatch(data, batch_size=128, dtype=None, broadcastable=None,
+              name="Minibatch", random_seed=42, update_shared_f=None,
+              in_memory_size=None):
+    """Build a minibatch view node (cf. ``pymc3/data.py:111``)."""
+    return MinibatchNode(data, batch_size, name=name, random_seed=random_seed,
+                         in_memory_size=in_memory_size)
+
+
+def align_minibatches(batches=None):
+    """No-op under per-step key folding (kept for API compat,
+    cf. ``data.py:437``)."""
+    return None
+
+
+def _slice_from_size(size):
+    if isinstance(size, int):
+        return slice(0, size)
+    return tuple(slice(0, s) if isinstance(s, int) else slice(None)
+                 for s in size)
+
+
+def Data(name, value, *, dims=None, export_index_as_coords=False, model=None):
+    """Register a named mutable data container (cf. ``pymc3/data.py:442``)."""
+    model = modelcontext(model)
+    if hasattr(value, "to_numpy"):
+        value = value.to_numpy()
+    node = SharedDataNode(model.name_for(name), np.asarray(value), model=model)
+    if dims is not None:
+        model._RV_dims[model.name_for(name)] = tuple(np.atleast_1d(dims))
+    return node
