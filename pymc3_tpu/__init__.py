@@ -38,3 +38,26 @@ from . import distributions
 from .exceptions import *
 from .memoize import memoize, clear_cache
 from .vartypes import *
+
+from . import step_methods
+from .step_methods import (
+    NUTS, HamiltonianMC, Metropolis, BinaryMetropolis, BinaryGibbsMetropolis,
+    CategoricalGibbsMetropolis, DEMetropolis, DEMetropolisZ, Slice,
+    EllipticalSlice, ElemwiseCategorical, CompoundStep,
+)
+from . import backends
+from .backends.base import MultiTrace, merge_traces
+from .backends.ndarray import NDArray, save_trace, load_trace
+from .backends.tracetab import trace_to_dataframe
+from .backends.report import SamplerReport, SamplerWarning, WarningType
+from .sampling import (
+    sample, iter_sample, init_nuts, sample_prior_predictive,
+    sample_posterior_predictive, sample_posterior_predictive_w,
+    fast_sample_posterior_predictive, stop_tuning, assign_step_methods,
+)
+from . import stats
+from .stats import (
+    bfmi, compare, ess, geweke, hpd, loo, mcse, r2_score, rhat, summary, waic,
+)
+from .tuning import find_MAP, find_hessian
+from . import parallel

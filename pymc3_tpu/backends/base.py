@@ -1,0 +1,354 @@
+"""Base trace backend classes (cf. ``pymc3/backends/base.py``).
+
+``BaseTrace`` (``base.py:39``) stores one chain; ``MultiTrace``
+(``base.py:238``) is the multi-chain container the user receives from
+``pm.sample()``. Var shapes/dtypes come from the model test point; sampler
+statistics are first-class (``base.py:91-109``).
+"""
+from __future__ import annotations
+
+import itertools
+import warnings
+from abc import ABC
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..model import modelcontext
+from ..util import get_var_name
+
+__all__ = ["BaseTrace", "MultiTrace", "merge_traces"]
+
+
+class BackendError(Exception):
+    pass
+
+
+class BaseTrace(ABC):
+    """Base trace object (cf. ``base.py:39``).
+
+    Parameters
+    ----------
+    name: str
+        Name of backend.
+    model: Model
+    vars: list of variables (default: ``model.unobserved_RVs``)
+    test_point: dict, optional
+    """
+
+    supports_sampler_stats = True
+
+    def __init__(self, name, model=None, vars=None, test_point=None):
+        self.name = name
+        model = modelcontext(model)
+        self.model = model
+        if vars is None:
+            vars = model.unobserved_RVs
+        self.vars = vars
+        self.varnames = [get_var_name(var) for var in vars]
+
+        # compute var shapes/dtypes from the test point
+        if test_point is None:
+            test_point = model.test_point
+        test_point_ = dict(test_point)
+        # fill in derived quantities (views, deterministics)
+        fn = model.makefn(vars)
+        values = fn(test_point_)
+        self.var_shapes = {name: np.shape(v)
+                           for name, v in zip(self.varnames, values)}
+        self.var_dtypes = {name: np.asarray(v).dtype
+                           for name, v in zip(self.varnames, values)}
+        self._fn = fn
+        self.chain = None
+        self._is_base_setup = False
+        self.sampler_vars = None
+        self._warnings = []
+
+    def _add_warnings(self, warnings_):
+        self._warnings.extend(warnings_)
+
+    # -- sampling methods ----------------------------------------------------
+    def setup(self, draws, chain, sampler_vars=None) -> None:
+        """Perform chain-specific setup (cf. ``base.py:112``)."""
+        self.chain = chain
+        self._set_sampler_vars(sampler_vars)
+        self._is_base_setup = True
+
+    def _set_sampler_vars(self, sampler_vars):
+        if sampler_vars is not None and not self.supports_sampler_stats:
+            raise ValueError("Backend does not support sampler stats.")
+        if self._is_base_setup and self.sampler_vars != sampler_vars:
+            raise ValueError("Can't change sampler_vars")
+        self.sampler_vars = sampler_vars
+
+    def record(self, point, sampler_stats=None):
+        raise NotImplementedError
+
+    def close(self):
+        pass
+
+    # -- selection methods ---------------------------------------------------
+    def __getitem__(self, idx):
+        if isinstance(idx, slice):
+            return self._slice(idx)
+        try:
+            return self.point(int(idx))
+        except (ValueError, TypeError):
+            return self.get_values(idx)
+
+    def __len__(self):
+        raise NotImplementedError
+
+    def get_values(self, varname, burn=0, thin=1):
+        raise NotImplementedError
+
+    def get_sampler_stats(self, stat_name, sampler_idx=None, burn=0, thin=1):
+        """Get sampler statistics (cf. ``base.py:186``)."""
+        if sampler_idx is not None:
+            return self._get_sampler_stats(stat_name, sampler_idx, burn, thin)
+        sampler_idxs = [i for i, s in enumerate(self.sampler_vars or [])
+                        if stat_name in s]
+        if not sampler_idxs:
+            raise KeyError(f"Unknown sampler stat {stat_name}")
+        vals = np.stack([self._get_sampler_stats(stat_name, i, burn, thin)
+                         for i in sampler_idxs], axis=-1)
+        if vals.shape[-1] == 1:
+            return vals[..., 0]
+        return vals
+
+    def _get_sampler_stats(self, stat_name, sampler_idx, burn, thin):
+        raise NotImplementedError
+
+    def _slice(self, idx):
+        raise NotImplementedError
+
+    def point(self, idx) -> Dict[str, np.ndarray]:
+        raise NotImplementedError
+
+    @property
+    def stat_names(self):
+        names = set()
+        for vars_ in self.sampler_vars or []:
+            names.update(vars_.keys())
+        return names
+
+
+class MultiTrace:
+    """Main interface for accessing values from MCMC results
+    (cf. ``base.py:238``)."""
+
+    def __init__(self, straces):
+        if len({t.chain for t in straces}) != len(straces):
+            raise ValueError("Chains are not unique.")
+        self._straces = {t.chain: t for t in straces}
+        self._report = None
+
+    @property
+    def report(self):
+        if self._report is None:
+            from .report import SamplerReport
+            self._report = SamplerReport()
+        return self._report
+
+    def __repr__(self):
+        template = "<{}: {} chains, {} iterations, {} variables>"
+        return template.format(self.__class__.__name__, self.nchains,
+                               len(self), len(self.varnames))
+
+    @property
+    def nchains(self) -> int:
+        return len(self._straces)
+
+    @property
+    def chains(self) -> List[int]:
+        return list(sorted(self._straces.keys()))
+
+    def __iter__(self):
+        return iter(self.points())
+
+    def __getitem__(self, idx):
+        if isinstance(idx, slice):
+            return self._slice(idx)
+        try:
+            return self.point(int(idx))
+        except (ValueError, TypeError):
+            pass
+        if isinstance(idx, tuple):
+            var, vslice = idx
+            burn, thin = vslice.start or 0, vslice.step or 1
+            return self.get_values(var, burn=burn, thin=thin)
+        name = get_var_name(idx)
+        if name in self.varnames:
+            if name in self.stat_names:
+                warnings.warn(
+                    f"Attribute access on a trace object is ambiguous. "
+                    f"Sampler statistic and model variable share a name. Use "
+                    f"trace.get_values or trace.get_sampler_stats.")
+            return self.get_values(name)
+        if name in self.stat_names:
+            return self.get_sampler_stats(name)
+        raise KeyError(f"Unknown variable {name}")
+
+    _attrs = {"_straces", "varnames", "chains", "stat_names", "_report",
+              "supports_sampler_stats"}
+
+    def __getattr__(self, name):
+        # Avoid infinite recursion when called before __init__
+        # variables are set up
+        if name in self._attrs:
+            raise AttributeError(name)
+        name = get_var_name(name)
+        if name in self.varnames:
+            if name in self.stat_names:
+                warnings.warn(
+                    "Attribute access on a trace object is ambiguous. "
+                    "Sampler statistic and model variable share a name. Use "
+                    "trace.get_values or trace.get_sampler_stats.")
+            return self.get_values(name)
+        if name in self.stat_names:
+            return self.get_sampler_stats(name)
+        raise AttributeError(
+            f"'{type(self).__name__}' object has no attribute {name!r}")
+
+    def __len__(self):
+        chain = self.chains[-1]
+        return len(self._straces[chain])
+
+    @property
+    def varnames(self):
+        chain = self.chains[-1]
+        return self._straces[chain].varnames
+
+    @property
+    def stat_names(self):
+        if not self._straces:
+            return set()
+        sampler_vars = [s.sampler_vars for s in self._straces.values()]
+        if not all(svars == sampler_vars[0] for svars in sampler_vars):
+            raise ValueError("Inividual chains contain different sampler stats")
+        names = set()
+        for trace in self._straces.values():
+            if trace.sampler_vars is None:
+                continue
+            for vars_ in trace.sampler_vars:
+                names.update(vars_.keys())
+        return names
+
+    def add_values(self, vals, overwrite=False) -> None:
+        """Add variables to traces (cf. ``base.py:392``)."""
+        for k, v in vals.items():
+            new_var = True
+            if k in self.varnames:
+                if overwrite:
+                    self.varnames.remove(k)
+                    new_var = False
+                else:
+                    raise ValueError(f"Variable name {k} already exists.")
+            self.varnames.append(k)
+
+            chains = self._straces
+            l_samples = len(self) * len(self.chains)
+            l_v = len(v)
+            if l_v != l_samples:
+                warnings.warn("The length of the values you are trying to "
+                              "set does not match the number of samples.")
+            v = np.squeeze(np.asarray(v).reshape(len(chains), len(self), -1))
+
+            for idx, chain in enumerate(chains.values()):
+                if new_var:
+                    dummy = np.full(len(self), np.nan)
+                    chain.samples[k] = dummy
+                chain.samples[k] = v[idx]
+
+    def remove_values(self, name):
+        """Remove a variable from the trace (cf. ``base.py:448``)."""
+        varnames = self.varnames
+        if name not in varnames:
+            raise KeyError(f"Unknown variable {name}")
+        self.varnames.remove(name)
+        for chain in self._straces.values():
+            for va in chain.vars:
+                if get_var_name(va) == name:
+                    chain.vars.remove(va)
+            del chain.samples[name]
+
+    def get_values(self, varname, burn=0, thin=1, combine=True, chains=None,
+                   squeeze=True):
+        """Get values from traces (cf. ``base.py:470``)."""
+        varname = get_var_name(varname)
+        if chains is None:
+            chains = self.chains
+        try:
+            results = [self._straces[chain].get_values(varname, burn, thin)
+                       for chain in chains]
+        except TypeError:  # single chain
+            results = [self._straces[chains].get_values(varname, burn, thin)]
+        return _squeeze_cat(results, combine, squeeze)
+
+    def get_sampler_stats(self, stat_name, burn=0, thin=1, combine=True,
+                          chains=None, squeeze=True):
+        """Get sampler statistics from the trace (cf. ``base.py:502``)."""
+        if stat_name not in self.stat_names:
+            raise KeyError(f"Unknown sampler statistic {stat_name}")
+        if chains is None:
+            chains = self.chains
+        try:
+            chains = iter(chains)
+        except TypeError:
+            chains = [chains]
+        results = [self._straces[chain].get_sampler_stats(stat_name, None,
+                                                          burn, thin)
+                   for chain in chains]
+        return _squeeze_cat(results, combine, squeeze)
+
+    def _slice(self, slice_):
+        """Return a new MultiTrace object sliced according to ``slice_``."""
+        new_traces = [trace._slice(slice_) for trace in self._straces.values()]
+        trace = MultiTrace(new_traces)
+        idxs = slice_.indices(len(self))
+        trace._report = self.report._slice(*idxs)
+        return trace
+
+    def point(self, idx, chain=None) -> Dict[str, np.ndarray]:
+        """Return a dictionary of point values at ``idx``."""
+        if chain is None:
+            chain = self.chains[-1]
+        return self._straces[chain].point(idx)
+
+    def points(self, chains=None):
+        """Return an iterator over all or some chains."""
+        if chains is None:
+            chains = self.chains
+        return itertools.chain.from_iterable(self._straces[chain]
+                                             for chain in chains)
+
+
+def merge_traces(mtraces: List[MultiTrace]) -> MultiTrace:
+    """Merge MultiTrace objects into one (cf. ``base.py:562``)."""
+    if len(mtraces) == 1:
+        return mtraces[0]
+    base_mtrace = mtraces[0]
+    chain_len = len(base_mtrace)
+    max_chain = max(base_mtrace.chains)
+    for new_mtrace in mtraces[1:]:
+        for new_chain, strace in new_mtrace._straces.items():
+            if chain_len != len(new_mtrace):
+                raise ValueError("Traces are unequal lengths.")
+            max_chain += 1
+            strace.chain = max_chain
+            base_mtrace._straces[max_chain] = strace
+    base_mtrace._report = base_mtrace.report
+    return base_mtrace
+
+
+def _squeeze_cat(results, combine, squeeze):
+    """Squeeze and/or concatenate the results (cf. ``base.py:595``)."""
+    results = [np.asarray(v) for v in results]
+    if combine:
+        results = np.concatenate(results)
+        if not squeeze:
+            results = [results]
+    else:
+        if squeeze and len(results) == 1:
+            results = results[0]
+    return results

@@ -719,6 +719,146 @@ class Model(WithMemoization, metaclass=ContextMeta):
         replacements = {v.name: order.by_name[v.name] for v in vars}
         return FlatView(flat_input, replacements, order)
 
+    # -- forward (predictive) sampling ---------------------------------------
+    def draw_point(self, point=None):
+        """One forward draw of all RVs in declaration order, conditioned on
+        any values already in ``point`` (the TPU-native replacement of the
+        reference's ``draw_values`` DAG interpreter,
+        ``distributions/distribution.py:521`` — topological order is known at
+        model build, SURVEY §7.7)."""
+        point = dict(point or {})
+        for kind, factor in self._factor_order:
+            rv = factor
+            orig = getattr(rv, "orig_name", rv.name)
+            if orig in point or rv.name in point:
+                continue
+            if kind == "free":
+                val = np.asarray(rv.distribution.random(point=point))
+                point[orig] = val
+                if rv.transform is not None:
+                    point[rv.name] = np.asarray(
+                        rv.transform.forward_val(val))
+            else:
+                if isinstance(rv, MultiObservedRV):
+                    continue
+                point[rv.name] = np.asarray(
+                    rv.distribution.random(point=point))
+        for det in self.deterministics:
+            if det.name not in point:
+                env = {k: jnp.asarray(v) for k, v in point.items()}
+                point[det.name] = np.asarray(det._eval_default(env, {}))
+        return point
+
+    def _batched_random(self, dist, point, samples, batched_names):
+        """Vectorized forward draw with per-sample fallback."""
+        expect = (samples,) + tuple(dist.shape)
+        try:
+            out = np.asarray(dist.random(point=point, size=samples))
+            if out.shape == expect:
+                return out
+            return np.broadcast_to(out, expect).copy()
+        except Exception:
+            draws = []
+            for i in range(samples):
+                pt_i = {k: (v[i] if k in batched_names else v)
+                        for k, v in point.items()}
+                draws.append(np.asarray(dist.random(point=pt_i)))
+            return np.stack(draws)
+
+    def sample_forward(self, samples: int, point=None) -> Dict[str, np.ndarray]:
+        """Vectorized prior(-predictive) draws: {name: (samples, *shape)}."""
+        point = {k: np.asarray(v) for k, v in (point or {}).items()}
+        batched = set(point.keys()) if point and any(
+            np.ndim(v) and np.shape(v)[0] == samples
+            for v in point.values()) else set()
+        for kind, factor in self._factor_order:
+            rv = factor
+            orig = getattr(rv, "orig_name", rv.name)
+            if orig in point or rv.name in point:
+                continue
+            if isinstance(rv, MultiObservedRV):
+                continue
+            val = self._batched_random(rv.distribution, point, samples,
+                                       batched)
+            point[orig] = val
+            batched.add(orig)
+            if kind == "free" and rv.transform is not None:
+                point[rv.name] = np.asarray(rv.transform.forward_val(val))
+                batched.add(rv.name)
+        # deterministics: vmap the node evaluation over the batch axis
+        if self.deterministics:
+            det_vals = self._vmap_eval(self.deterministics, point, batched,
+                                       samples)
+            point.update(det_vals)
+        return point
+
+    def _vmap_eval(self, nodes, point, batched_names, samples):
+        """Evaluate named nodes under vmap over the batched point entries."""
+        batched_env = {k: jnp.asarray(v) for k, v in point.items()
+                       if k in batched_names}
+        static_env = {k: jnp.asarray(v) for k, v in point.items()
+                      if k not in batched_names}
+
+        def eval_one(benv):
+            env = dict(static_env)
+            env.update(benv)
+            memo = {}
+            return [jnp.asarray(_ev(n, env, memo)) for n in nodes]
+
+        if batched_env:
+            vals = jax.vmap(eval_one)(batched_env)
+        else:
+            one = eval_one({})
+            vals = [jnp.broadcast_to(v, (samples,) + v.shape) for v in one]
+        return {n.name: np.asarray(v) for n, v in zip(nodes, vals)}
+
+    def sample_forward_conditional(self, points, idx, vars, size=None
+                                   ) -> Dict[str, np.ndarray]:
+        """Posterior predictive: draw ``vars`` forward for each selected
+        trace point (vectorized — the only path, cf.
+        ``posterior_predictive.py:124``)."""
+        idx = np.asarray(idx)
+        nsel = idx.shape[0]
+        batched_point = {}
+        for k in points[0]:
+            batched_point[k] = np.stack(
+                [np.asarray(points[i][k]) for i in idx])
+        batched = set(batched_point.keys())
+        # fill constrained views of transformed values
+        for rv in self.free_RVs:
+            if rv.transform is not None and rv.name in batched_point \
+                    and rv.orig_name not in batched_point:
+                batched_point[rv.orig_name] = np.asarray(
+                    rv.transform.backward_val(batched_point[rv.name]))
+                batched.add(rv.orig_name)
+        out = {}
+        det_vars = []
+        for var in vars:
+            var = self.named_vars.get(getattr(var, "name", var), var)
+            if isinstance(var, (ObservedRV,)):
+                draw = self._batched_random(var.distribution, batched_point,
+                                            nsel, batched)
+                if size is not None:
+                    extra = [self._batched_random(
+                        var.distribution, batched_point, nsel, batched)
+                        for _ in range(int(size) - 1)]
+                    draw = np.stack([draw] + extra, axis=1) if extra else \
+                        draw[:, None]
+                out[var.name] = draw
+            elif isinstance(var, DeterministicRV):
+                det_vars.append(var)
+            elif isinstance(var, (FreeRV, TransformedRV)):
+                nm = var.name
+                if nm in batched_point:
+                    out[nm] = batched_point[nm]
+                else:
+                    out[nm] = self._batched_random(
+                        var.distribution, batched_point, nsel, batched)
+        if det_vars:
+            out.update(self._vmap_eval(det_vars, batched_point, batched,
+                                       nsel))
+        return out
+
     def set_data(self, name, values):
         """Mutate a pm.Data container (cf. ``model.py:1236``)."""
         from .data import SharedDataNode
@@ -734,6 +874,14 @@ class Model(WithMemoization, metaclass=ContextMeta):
                f"{len(self.observed_RVs)} observed)"
 
     __repr__ = __str__
+
+
+def all_continuous(vars) -> bool:
+    """Check that vars not include discrete variables
+    (cf. ``pymc3/model.py``/``sampling.py`` usage)."""
+    vars_ = [var for var in vars if hasattr(var, "distribution")]
+    return all(str(np.dtype(v.distribution.dtype)) in continuous_types
+               for v in vars_)
 
 
 def Point(*args, model=None, **kwargs) -> Dict[str, np.ndarray]:

@@ -1,0 +1,90 @@
+"""Multi-device chain parallelism — the TPU-native "communication backend".
+
+The reference runs one OS process per chain with a Pipe control protocol and
+shared-memory sample transport (``pymc3/parallel_sampling.py:98-244``). On
+TPU, chains advance in lockstep SPMD: the chain axis is sharded over a
+``jax.sharding.Mesh`` with ``shard_map``, each device vmaps its local block
+of chains, and cross-chain reductions (pooled Welford mass-matrix adaptation,
+on-device R-hat) are exact ``psum`` collectives riding ICI — no message
+protocol exists because there is nothing asynchronous to coordinate
+(SURVEY §2.4, §5 "Distributed communication backend").
+
+Multi-host bring-up goes through ``jax.distributed.initialize`` (DCN); the
+mesh then spans all hosts' devices and the same ``shard_map`` program scales
+from 1 chip to a pod slice unchanged.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+__all__ = ["make_mesh", "shard_chain_fn", "initialize_distributed",
+           "CHAIN_AXIS", "LOCAL_CHAIN_AXIS"]
+
+CHAIN_AXIS = "chains"           # mesh axis: chains sharded across devices
+LOCAL_CHAIN_AXIS = "chains_local"  # vmap axis: chains within one device
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None):
+    """Multi-host bring-up over DCN (cf. the reference's per-process fork at
+    ``parallel_sampling.py:107``; here hosts join one SPMD program)."""
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def make_mesh(devices: Optional[Sequence] = None,
+              axis_name: str = CHAIN_AXIS) -> Mesh:
+    """1-D device mesh over the chain axis."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def shard_chain_fn(chain_fn: Callable, axis_name: Optional[str] = None,
+                   devices: Optional[Sequence] = None,
+                   mesh: Optional[Mesh] = None) -> Callable:
+    """Lift a per-chain function to a sharded multi-chain program.
+
+    ``chain_fn(key, q0) -> pytree`` (leading output axes are per-chain).
+    Returns ``run(keys, q0s)`` where the leading (chain) axis of every input
+    and output is sharded over the mesh. Inside, each device vmaps its local
+    chains with a named vmap axis so kernels can ``psum`` over
+    ``(LOCAL_CHAIN_AXIS, CHAIN_AXIS)`` for exact pooled cross-chain warmup
+    statistics (cf. ``_WeightedVariance.add_sample``,
+    ``quadpotential.py:336-342``).
+    """
+    if mesh is None:
+        mesh = make_mesh(devices)
+    mesh_axis = mesh.axis_names[0]
+    n_dev = int(np.prod(mesh.devices.shape))
+
+    local = jax.vmap(chain_fn, axis_name=LOCAL_CHAIN_AXIS)
+
+    sharded = jax.shard_map(
+        local, mesh=mesh, in_specs=(P(mesh_axis), P(mesh_axis)),
+        out_specs=P(mesh_axis), check_vma=False)
+
+    @jax.jit
+    def run(keys, q0s):
+        n = q0s.shape[0]
+        if n % n_dev != 0:
+            raise ValueError(
+                f"chains ({n}) must be a multiple of the device count "
+                f"({n_dev}); pad the chain count.")
+        return sharded(keys, q0s)
+
+    return run
+
+
+def pooled_axes(axis_name: Optional[str] = None):
+    """Axis names tuple for cross-chain collectives inside kernels."""
+    if axis_name is None:
+        return LOCAL_CHAIN_AXIS
+    return (LOCAL_CHAIN_AXIS, axis_name)

@@ -1,0 +1,810 @@
+"""Sampling orchestration (cf. ``pymc3/sampling.py``).
+
+``sample()`` keeps the reference's surface (``sampling.py:230-579``) but the
+execution model is TPU-native: instead of one OS process per chain with a
+pipe protocol (``_mp_sample``, ``sampling.py:1305``; ``parallel_sampling.py``),
+ALL chains advance in lockstep as a ``vmap`` batch axis of one jitted
+``lax.scan`` program — warmup + draws compile to a single XLA executable, and
+the chain axis can shard over a device mesh (``pymc3_tpu.parallel``).
+Sampler statistics come back as device arrays and are flushed to the trace
+backend once, replacing the per-draw pipe round-trip.
+"""
+from __future__ import annotations
+
+import logging
+import pickle
+import time
+import warnings
+from collections import defaultdict
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .backends.base import BaseTrace, MultiTrace
+from .backends.ndarray import NDArray
+from .backends.report import SamplerReport, SamplerWarning, WarningType
+from .blocking import DictToArrayBijection
+from .config import floatX
+from .distributions.distribution import draw_values
+from .exceptions import SamplingError
+from .model import Point, all_continuous, modelcontext
+from .step_methods import (
+    NUTS, HamiltonianMC, Metropolis, BinaryMetropolis, BinaryGibbsMetropolis,
+    CategoricalGibbsMetropolis, DEMetropolis, DEMetropolisZ, Slice,
+    CompoundStep, STEP_METHODS,
+)
+from .step_methods.arraystep import BlockedStep, TuneContext
+from .step_methods.hmc.quadpotential import (
+    QuadPotentialDiag, QuadPotentialDiagAdapt, QuadPotentialFull,
+    QuadPotentialFullAdapt,
+)
+from .util import get_default_varnames, get_var_name, update_start_vals
+from .vartypes import discrete_types
+
+__all__ = [
+    "sample", "iter_sample", "sample_posterior_predictive",
+    "sample_posterior_predictive_w", "init_nuts", "sample_prior_predictive",
+    "fast_sample_posterior_predictive", "stop_tuning",
+    "assign_step_methods", "instantiate_steppers",
+]
+
+_log = logging.getLogger("pymc3_tpu")
+
+
+def instantiate_steppers(model, steps: List[BlockedStep], selected_steps,
+                         step_kwargs=None) -> Union[BlockedStep, List]:
+    """Instantiate appropriate steppers for groups of variables
+    (cf. ``sampling.py:96-139``)."""
+    if step_kwargs is None:
+        step_kwargs = {}
+    used_keys = set()
+    for step_class, vars in selected_steps.items():
+        if len(vars) == 0:
+            continue
+        args = step_kwargs.get(step_class.name, {})
+        used_keys.add(step_class.name)
+        step = step_class(vars=vars, model=model, **args)
+        steps.append(step)
+
+    unused_args = set(step_kwargs).difference(used_keys)
+    if unused_args:
+        raise ValueError(f"Unused step method arguments: {unused_args}")
+
+    if len(steps) == 1:
+        return steps[0]
+    return steps
+
+
+def assign_step_methods(model, step=None, methods=STEP_METHODS,
+                        step_kwargs=None):
+    """Assign model variables to appropriate step methods
+    (cf. ``sampling.py:142-208``): per-RV max competence, with a gradient
+    probe replacing the reference's ``tg.grad`` try/except."""
+    steps = []
+    assigned_vars = set()
+
+    if step is not None:
+        try:
+            steps += list(step)
+        except TypeError:
+            steps.append(step)
+        for s in steps:
+            assigned_vars = assigned_vars.union(set(get_var_name(v)
+                                                    for v in s.vars))
+
+    # Use competence classmethods to select step methods for remaining vars
+    selected_steps = defaultdict(list)
+    for var in model.free_RVs:
+        if get_var_name(var) in assigned_vars:
+            continue
+        # determine if the variable participates in a differentiable density
+        has_grad = _has_grad(model, var)
+        selected = max(methods, key=lambda method,
+                       var=var: method._competence(var, has_grad))
+        selected_steps[selected].append(var)
+
+    return instantiate_steppers(model, steps, selected_steps, step_kwargs)
+
+
+def _has_grad(model, var):
+    """Gradient probe: is d logp/d var finite at the test point?"""
+    if str(np.dtype(var.distribution.dtype)) in discrete_types:
+        return False
+    try:
+        g = model.dlogp()
+        vm = model.ordering.by_name[var.name]
+        return bool(np.all(np.isfinite(g[vm.slc])))
+    except Exception:
+        return False
+
+
+# monkey-level helper: classes expose `competence`; normalize to callable
+def _competence(cls, var, has_grad):
+    return cls.competence(var, has_grad)
+
+
+for _cls in STEP_METHODS:
+    _cls._competence = classmethod(
+        lambda cls, var, has_grad: cls.competence(var, has_grad))
+
+
+def _empty_model_error(model):
+    if not model.free_RVs:
+        raise ValueError("The model does not contain any free variables.")
+
+
+def sample(draws=500, step=None, init="auto", n_init=200000, start=None,
+           trace=None, chain_idx=0, chains=None, cores=None, tune=500,
+           progressbar=True, model=None, random_seed=None,
+           discard_tuned_samples=True, compute_convergence_checks=True,
+           callback=None, return_inferencedata=None, idata_kwargs=None,
+           mp_ctx=None, pickle_backend="pickle", target_accept=None,
+           axis_name=None, devices=None, **kwargs):
+    """Draw samples from the posterior (cf. ``sample``, ``sampling.py:230``).
+
+    TPU-native semantics: ``chains`` is a vmap batch axis (default 4; use
+    thousands freely), ``cores`` is accepted for API parity but ignored —
+    parallelism comes from the device, not processes. Pass ``devices``/
+    ``axis_name`` to shard chains over a ``jax.sharding.Mesh``
+    (see ``pymc3_tpu.parallel``).
+    """
+    model = modelcontext(model)
+    _empty_model_error(model)
+
+    if chains is None:
+        chains = max(4, cores or 0)
+    if target_accept is not None:
+        kwargs.setdefault("nuts", {})["target_accept"] = target_accept
+
+    if random_seed is None:
+        random_seed = np.random.randint(0, 2**30)
+    if isinstance(random_seed, (list, tuple, np.ndarray)):
+        random_seed = int(np.asarray(random_seed).ravel()[0])
+    random_seed = int(random_seed)
+
+    start = _check_start_shape(model, start, chains)
+
+    draws = int(draws)
+    tune = int(tune)
+    if draws + tune <= 0:
+        raise ValueError("Argument `draws` must be greater than 0.")
+
+    # -- step method selection (cf. sampling.py:486-538) ---------------------
+    step_kwargs = {}
+    for name in ("nuts", "hmc", "metropolis", "slice", "DEMetropolis",
+                 "DEMetropolisZ", "binary_metropolis",
+                 "binary_gibbs_metropolis", "categorical_gibbs_metropolis"):
+        if name in kwargs:
+            step_kwargs[name] = kwargs.pop(name)
+
+    start_points = None
+    if step is None and init is not None and all_continuous(model.free_RVs):
+        try:
+            # NUTS initialization (cf. init_nuts, sampling.py:1837)
+            start_points, step = init_nuts(
+                init=init, chains=chains, n_init=n_init, model=model,
+                random_seed=random_seed, progressbar=progressbar,
+                axis_name=axis_name,
+                **step_kwargs.get("nuts", {}))
+        except (AttributeError, NotImplementedError) as e:
+            _log.info(f"NUTS init failed ({e}); falling back to "
+                      "auto-assignment")
+            step = assign_step_methods(model, step,
+                                       step_kwargs=step_kwargs)
+    else:
+        step = assign_step_methods(model, step, step_kwargs=step_kwargs)
+
+    if isinstance(step, list):
+        step = CompoundStep(step)
+
+    # -- start points per chain ----------------------------------------------
+    if start is not None:
+        chain_starts = start
+    elif start_points is not None:
+        chain_starts = start_points
+    else:
+        chain_starts = [model.test_point] * chains
+
+    q0 = np.stack([model.dict_to_array(_complete_point(model, p))
+                   for p in chain_starts]).astype(floatX())
+
+    _check_bad_init(model, chain_starts[0])
+
+    # -- run the fused sampler ----------------------------------------------
+    t_start = time.time()
+    result = _device_sample(
+        model=model, step=step, q0=q0, draws=draws, tune=tune,
+        random_seed=random_seed, progressbar=progressbar,
+        axis_name=axis_name, devices=devices, callback=callback)
+    t_sampling = time.time() - t_start
+
+    # -- build traces --------------------------------------------------------
+    keep_from = tune if discard_tuned_samples else 0
+    traces = _flush_to_traces(model, step, result, trace, chain_idx, chains,
+                              keep_from)
+    mtrace = MultiTrace(traces)
+    mtrace._report = SamplerReport()
+    mtrace.report._n_tune = tune
+    mtrace.report._n_draws = draws
+    mtrace.report._t_sampling = t_sampling
+
+    # divergence warnings (cf. NUTS warnings, nuts.py:420-460)
+    _attach_sample_stats_warnings(mtrace, step, tune)
+
+    n_diverging = 0
+    if "diverging" in (mtrace.stat_names or set()):
+        n_diverging = int(np.sum(mtrace.get_sampler_stats("diverging")))
+        if n_diverging > 0:
+            _log.warning(
+                f"There were {n_diverging} divergences after tuning. "
+                f"Increase `target_accept` or reparameterize.")
+
+    if compute_convergence_checks:
+        if draws - tune < 100:
+            warnings.warn("The number of samples is too small to check "
+                          "convergence reliably.")
+        else:
+            mtrace.report._run_convergence_checks(mtrace, model)
+    mtrace.report._log_summary()
+    return mtrace
+
+
+def _complete_point(model, point):
+    """Fill a (possibly partial, possibly untransformed) start point."""
+    start = dict(point or {})
+    update_start_vals(start, model.test_point, model)
+    return {k: v for k, v in start.items()
+            if k in model.ordering.by_name}
+
+
+def _check_start_shape(model, start, chains):
+    if start is None:
+        return None
+    if isinstance(start, dict):
+        start = [start] * chains
+    e = ""
+    for elem in start:
+        for var in model.free_RVs:
+            name = var.name
+            if name in elem:
+                var_shape = np.shape(var.test_value)
+                start_var_shape = np.shape(elem[name])
+                if start_var_shape:
+                    if start_var_shape != var_shape:
+                        e += f"\nExpected shape {var_shape} for var " \
+                             f"'{name}', got: {start_var_shape}"
+                elif var_shape:
+                    e += f"\nExpected shape {var_shape} for var " \
+                         f"'{name}', got scalar {elem[name]}"
+    if e:
+        raise ValueError(f"Bad shape for start argument:{e}")
+    return start
+
+
+def _check_bad_init(model, start):
+    """'Bad initial energy' check with per-RV attribution
+    (cf. ``base_hmc.py:138-158`` / ``Model.check_test_point``)."""
+    point = _complete_point(model, start)
+    logp = model.logp(point)
+    if not np.isfinite(logp):
+        details = model.check_test_point(point)
+        raise SamplingError(
+            f"Initial evaluation of model at starting point failed!\n"
+            f"Starting values:\n{point}\n\nInitial evaluation results:\n"
+            f"{details}")
+
+
+def _device_sample(model, step, q0, draws, tune, random_seed, progressbar,
+                   axis_name=None, devices=None, callback=None):
+    """Run warmup+draws as one jitted scan, vmapped over chains.
+
+    Returns dict with ``q`` (chains, total, dim) and ``stats`` (list per
+    sampler of dicts of (chains, total) arrays).
+    """
+    chains, dim = q0.shape
+    total = draws + tune
+    key = jax.random.PRNGKey(random_seed)
+    chain_keys = jax.random.split(key, chains)
+
+    population_based = getattr(step, "population_based", False)
+
+    if population_based:
+        # population methods step the whole (chains, dim) block at once
+        state0 = step.kernel_init(jnp.asarray(q0))
+
+        def one_step(carry, idx):
+            k, Q, st = carry
+            k, sub = jax.random.split(k)
+            tctx = TuneContext(idx < tune, idx, tune)
+            Q, st, stats = step.population_kernel_step(sub, Q, st, tctx)
+            return (k, Q, st), (Q, stats)
+
+        @jax.jit
+        def run(key, Q0):
+            (_, _, final_state), (qs, stats) = jax.lax.scan(
+                one_step, (key, jnp.asarray(Q0), state0),
+                jnp.arange(total, dtype=jnp.int32))
+            return qs, stats, final_state
+
+        qs, stats, final_state = run(key, q0)
+        qs = np.moveaxis(np.asarray(qs), 0, 1)  # (chains, total, dim)
+        stats_list = [stats] if not isinstance(stats, list) else stats
+        host_stats = []
+        for s in stats_list:
+            host_stats.append({k: np.moveaxis(np.asarray(v), 0, 1)
+                               for k, v in s.items()})
+        return {"q": qs, "stats": host_stats, "final_state": final_state}
+
+    def chain_fn(ckey, cq0):
+        state0 = step.kernel_init(cq0)
+
+        def one_step(carry, idx):
+            k, q, st = carry
+            k, sub = jax.random.split(k)
+            tctx = TuneContext(idx < tune, idx, tune)
+            q, st, stats = step.kernel_step(sub, q, st, tctx)
+            return (k, q, st), (q, stats)
+
+        (_, _, final_state), (qs, stats) = jax.lax.scan(
+            one_step, (ckey, cq0, state0),
+            jnp.arange(total, dtype=jnp.int32))
+        return qs, stats, final_state
+
+    if axis_name is not None or devices is not None:
+        from .parallel import shard_chain_fn
+        run = shard_chain_fn(chain_fn, axis_name=axis_name, devices=devices)
+    else:
+        run = jax.jit(jax.vmap(chain_fn))
+
+    qs, stats, final_state = run(chain_keys, jnp.asarray(q0))
+    qs = np.asarray(qs)  # (chains, total, dim)
+
+    if isinstance(step, CompoundStep):
+        stats_list = stats
+    else:
+        stats_list = [stats] if step.generates_stats else []
+    host_stats = []
+    for s in stats_list:
+        host_stats.append({k: np.asarray(v) for k, v in s.items()})
+    return {"q": qs, "stats": host_stats, "final_state": final_state}
+
+
+def _flush_to_traces(model, step, result, trace_arg, chain_idx, chains,
+                     keep_from):
+    """Decode q-history into variable values and bulk-record per chain."""
+    qs = result["q"][:, keep_from:]  # (chains, kept, dim)
+    nkept = qs.shape[1]
+
+    # batch-decode unobserved vars from flat vectors
+    unobserved = model.unobserved_RVs
+    varnames = [v.name for v in unobserved]
+
+    @jax.jit
+    def decode(q):
+        env = model._env_from_q(q)
+        memo = {}
+        from .node import _ev
+        return [jnp.asarray(_ev(v, env, memo)) for v in unobserved]
+
+    flat = jnp.asarray(qs.reshape(-1, qs.shape[-1]))
+    vals = jax.vmap(decode)(flat)
+    vals = [np.asarray(v).reshape((chains, nkept) + v.shape[1:])
+            for v in vals]
+    var_values = dict(zip(varnames, vals))
+
+    stats_dtypes = step.stats_dtypes if step.generates_stats else None
+    traces = []
+    for ci in range(chains):
+        if isinstance(trace_arg, BaseTrace):
+            if chains > 1:
+                raise ValueError("Cannot reuse a single trace for multiple "
+                                 "chains")
+            strace = trace_arg
+        elif isinstance(trace_arg, str):
+            from .backends import _shortcuts
+            backend = _shortcuts[trace_arg]["backend"]
+            strace = backend(_shortcuts[trace_arg]["name"], model=model,
+                             vars=unobserved)
+        else:
+            strace = NDArray(model=model, vars=unobserved)
+        strace.setup(nkept, chain_idx + ci, stats_dtypes)
+        chain_vals = {k: v[ci] for k, v in var_values.items()}
+        stats_batch = None
+        if stats_dtypes:
+            stats_batch = []
+            for s_i, dtypes in enumerate(step.stats_dtypes):
+                src = result["stats"][s_i]
+                stats_batch.append({
+                    k: np.asarray(src[k][ci, keep_from:]).astype(dt)
+                    for k, dt in dtypes.items() if k in src})
+        strace.record_batch(chain_vals, nkept, stats_batch)
+        # warmup-state checkpoint (TPU extension, SURVEY §5)
+        strace.warmup_state = _extract_warmup_state(result["final_state"], ci)
+        strace.close()
+        traces.append(strace)
+    return traces
+
+
+def _extract_warmup_state(final_state, ci):
+    try:
+        leaves, _ = jax.tree_util.tree_flatten(final_state)
+        return {f"leaf{i}": np.asarray(l)[ci] if np.ndim(l) > 0 else
+                np.asarray(l) for i, l in enumerate(leaves)}
+    except Exception:
+        return None
+
+
+def _attach_sample_stats_warnings(mtrace, step, tune):
+    report = mtrace.report
+    try:
+        if "diverging" in mtrace.stat_names:
+            for chain in mtrace.chains:
+                div = np.asarray(mtrace.get_sampler_stats(
+                    "diverging", chains=[chain]))
+                n = int(div.sum())
+                if n:
+                    report._add_warnings([SamplerWarning(
+                        WarningType.DIVERGENCES,
+                        f"Chain {chain} had {n} diverging samples after "
+                        "tuning.", "warn", None, None, None)], chain)
+        if "depth" in mtrace.stat_names:
+            for chain in mtrace.chains:
+                depth = np.asarray(mtrace.get_sampler_stats(
+                    "depth", chains=[chain]))
+                # early tuning uses a reduced cap; compare to the final cap
+                for s in (step.methods if isinstance(step, CompoundStep)
+                          else [step]):
+                    if hasattr(s, "max_treedepth"):
+                        n = int((depth >= s.max_treedepth).sum())
+                        if n:
+                            report._add_warnings([SamplerWarning(
+                                WarningType.TREEDEPTH,
+                                f"Chain {chain} reached the maximum tree "
+                                f"depth. Increase max_treedepth, increase "
+                                f"target_accept or reparameterize.",
+                                "warn", None, None, None)], chain)
+    except (KeyError, ValueError):
+        pass
+
+
+# ---------------------------------------------------------------------------
+# sequential / iterator API (debug path, cf. sampling.py:607-952)
+# ---------------------------------------------------------------------------
+def iter_sample(draws, step, start=None, trace=None, chain=0, tune=None,
+                model=None, random_seed=None, callback=None):
+    """Generator that yields a cumulative trace each draw
+    (cf. ``iter_sample``, ``sampling.py:581``)."""
+    sampling = _iter_sample(draws, step, start, trace, chain, tune, model,
+                            random_seed, callback)
+    for i, (strace, _) in enumerate(sampling):
+        yield MultiTrace([strace[:i + 1]])
+
+
+def _iter_sample(draws, step, start=None, trace=None, chain=0, tune=None,
+                 model=None, random_seed=None, callback=None):
+    """Single-chain host-side sampling generator (cf. ``sampling.py:847``)."""
+    model = modelcontext(model)
+    draws = int(draws)
+    if random_seed is not None:
+        np.random.seed(int(np.asarray(random_seed).ravel()[0]))
+    if draws < 1:
+        raise ValueError("Argument `draws` must be greater than 0.")
+
+    if start is None:
+        start = {}
+    point = _complete_point(model, start)
+
+    if isinstance(trace, BaseTrace):
+        strace = trace
+    else:
+        strace = NDArray(model=model)
+
+    try:
+        step = CompoundStep(step)
+    except TypeError:
+        pass
+
+    stats_dtypes = step.stats_dtypes if step.generates_stats else None
+    strace.setup(draws, chain, stats_dtypes)
+
+    try:
+        step.tune = bool(tune)
+        if hasattr(step, "reset_tuning"):
+            step.reset_tuning()
+        for i in range(draws):
+            if i == tune:
+                step.stop_tuning()
+            if step.generates_stats:
+                point, stats = step.step(point)
+                strace.record(point, stats)
+                diverging = i > tune and any(
+                    s.get("diverging", False) for s in stats)
+            else:
+                point = step.step(point)
+                strace.record(point)
+                diverging = False
+            if callback is not None:
+                callback(trace=strace, draw=(chain, i == draws - 1, i, i < (tune or 0),
+                                             None, point))
+            yield strace, diverging
+    except KeyboardInterrupt:
+        strace.close()
+        raise
+    except BaseException:
+        strace.close()
+        raise
+    else:
+        strace.close()
+
+
+def stop_tuning(step):
+    """Stop tuning the current step method (cf. ``sampling.py:952``)."""
+    step.stop_tuning()
+    return step
+
+
+# ---------------------------------------------------------------------------
+# NUTS initialization (cf. init_nuts, sampling.py:1837-2014)
+# ---------------------------------------------------------------------------
+def init_nuts(init="auto", chains=1, n_init=500000, model=None,
+              random_seed=None, progressbar=True, axis_name=None, **kwargs):
+    """Set up the mass matrix initialization for NUTS
+    (cf. ``sampling.py:1837``). Strategies: auto, adapt_diag,
+    jitter+adapt_diag, advi+adapt_diag, advi+adapt_diag_grad, advi, advi_map,
+    map, nuts, adapt_full, jitter+adapt_full."""
+    model = modelcontext(model)
+    vars = kwargs.get("vars", model.vars)
+    if set(vars) != set(model.vars):
+        raise ValueError("Must use init_nuts on all variables of a model.")
+    if not all_continuous(vars):
+        raise ValueError("init_nuts can only be used for models with only "
+                         "continuous variables.")
+
+    if not isinstance(init, str):
+        raise TypeError("init must be a string.")
+    init = init.lower()
+    if init == "auto":
+        init = "jitter+adapt_diag"
+
+    _log.info(f"Initializing NUTS using {init}...")
+
+    if random_seed is not None:
+        random_seed = int(np.atleast_1d(random_seed)[0])
+        np.random.seed(random_seed)
+
+    cb = []  # VI convergence callbacks filled in the advi paths
+
+    q0 = model.dict_to_array(model.test_point).astype(floatX())
+    n = q0.shape[0]
+
+    def _jitter_starts():
+        starts = []
+        for _ in range(chains):
+            jitter = np.random.uniform(-1, 1, size=n).astype(floatX())
+            starts.append(model.array_to_dict(q0 + jitter))
+        return starts
+
+    if init == "adapt_diag":
+        start = [model.test_point] * chains
+        mean = q0
+        var = np.ones_like(mean)
+        potential = QuadPotentialDiagAdapt(n, mean, var, 10)
+    elif init == "jitter+adapt_diag":
+        start = _jitter_starts()
+        mean = np.stack([model.dict_to_array(p) for p in start]).mean(axis=0)
+        var = np.ones_like(mean)
+        potential = QuadPotentialDiagAdapt(n, mean, var, 10)
+    elif init in ("advi+adapt_diag", "advi+adapt_diag_grad", "advi",
+                  "advi_map"):
+        from .variational import fit as vi_fit
+        from .variational.callbacks import CheckParametersConvergence
+        cb = [CheckParametersConvergence(tolerance=1e-2, diff="absolute"),
+              CheckParametersConvergence(tolerance=1e-2, diff="relative")]
+        approx = vi_fit(random_seed=random_seed, n=n_init, method="advi",
+                        model=model, callbacks=cb,
+                        progressbar=progressbar,
+                        obj_optimizer_kwargs={})
+        start = approx.sample(draws=chains)
+        start = [{k: np.asarray(start.point(i)[k]) for k in
+                  model.ordering.by_name} for i in range(chains)]
+        mean = approx.mean_field_params()["mu"]
+        std = approx.mean_field_params()["std"]
+        cov = std ** 2
+        if init == "advi+adapt_diag" or init == "advi+adapt_diag_grad":
+            potential = QuadPotentialDiagAdapt(n, mean, cov, 50)
+        else:
+            if init == "advi_map":
+                from .tuning import find_MAP
+                start_map = find_MAP(model=model)
+                start = [start_map] * chains
+            potential = QuadPotentialDiag(cov)
+    elif init == "map":
+        from .tuning import find_MAP
+        start_map = find_MAP(model=model)
+        q_map = model.dict_to_array(start_map)
+        import scipy.linalg
+        from .tuning import find_hessian
+        try:
+            H = find_hessian(start_map, model=model)
+            cov = np.linalg.inv(H)
+            potential = QuadPotentialFull(cov)
+        except Exception:
+            potential = QuadPotentialDiagAdapt(n, q_map, np.ones(n), 10)
+        start = [start_map] * chains
+    elif init == "adapt_full":
+        start = [model.test_point] * chains
+        potential = QuadPotentialFullAdapt(n, q0)
+    elif init == "jitter+adapt_full":
+        start = _jitter_starts()
+        mean = np.stack([model.dict_to_array(p) for p in start]).mean(axis=0)
+        potential = QuadPotentialFullAdapt(n, mean)
+    elif init == "nuts":
+        # short pilot NUTS run to build a diag estimate
+        start = _jitter_starts()
+        potential = QuadPotentialDiagAdapt(n, q0, np.ones(n), 10)
+    else:
+        raise ValueError(f"Unknown initializer: {init}.")
+
+    step = NUTS(potential=potential, model=model, axis_name=axis_name,
+                **{k: v for k, v in kwargs.items() if k != "vars"})
+    return start, step
+
+
+# ---------------------------------------------------------------------------
+# Predictive sampling (cf. sampling.py:1510-1835)
+# ---------------------------------------------------------------------------
+def sample_prior_predictive(samples=500, model=None, vars=None,
+                            var_names=None, random_seed=None) -> Dict[str, np.ndarray]:
+    """Generate samples from the prior predictive distribution
+    (cf. ``sampling.py:1766``) — a single vmapped pure function over draws
+    (the reference's ``draw_values`` DAG interpreter is replaced by forward
+    evaluation in declaration order, SURVEY §7.7)."""
+    model = modelcontext(model)
+
+    if vars is None and var_names is None:
+        prior_pred_vars = model.observed_RVs
+        prior_vars = (get_default_varnames(model.unobserved_RVs,
+                                           include_transformed=True) +
+                      list(model.deterministics))
+        vars_: Sequence[str] = [get_var_name(var)
+                                for var in prior_vars + prior_pred_vars]
+    elif vars is None:
+        vars_ = var_names
+    elif var_names is None:
+        vars_ = [get_var_name(v) for v in vars]
+    else:
+        raise ValueError("Cannot supply both vars and var_names arguments.")
+
+    if random_seed is not None:
+        np.random.seed(int(np.atleast_1d(random_seed)[0]))
+
+    names = [v for v in vars_]
+    values = model.sample_forward(samples)
+
+    data = {}
+    for name in names:
+        if name in values:
+            data[name] = values[name]
+    if data is None:
+        raise AssertionError(f"No variables sampled: attempting to sample {names}")
+    return data
+
+
+def sample_posterior_predictive(trace, samples=None, model=None, vars=None,
+                                var_names=None, size=None, keep_size=False,
+                                random_seed=None, progressbar=True
+                                ) -> Dict[str, np.ndarray]:
+    """Generate posterior-predictive samples from a model given a trace
+    (cf. ``sampling.py:1510``). Vectorized over the whole trace — the
+    reference's ``fast_sample_posterior_predictive`` semantics are the only
+    path (SURVEY §3.5)."""
+    model = modelcontext(model)
+
+    if isinstance(trace, dict):
+        points = _dict_trace_to_points(trace, model)
+    elif isinstance(trace, MultiTrace):
+        points = [trace.point(i, chain=c) for c in trace.chains
+                  for i in range(len(trace))]
+    elif isinstance(trace, list):
+        points = [dict(p) for p in trace]
+    else:
+        raise TypeError("Unsupported trace type")
+
+    nchain = trace.nchains if isinstance(trace, MultiTrace) else 1
+    len_trace = len(points) // max(nchain, 1)
+
+    if keep_size and samples is not None:
+        raise IncorrectArgumentsError(
+            "Should not specify both keep_size and samples arguments")
+    if keep_size and size is not None:
+        raise IncorrectArgumentsError(
+            "Should not specify both keep_size and size arguments")
+
+    if samples is None:
+        samples = len(points)
+
+    if samples < len_trace * nchain:
+        warnings.warn("samples parameter is smaller than nchains times "
+                      "ndraws, some draws and/or chains may not be "
+                      "represented in the returned posterior predictive "
+                      "sample")
+
+    if var_names is not None:
+        if vars is not None:
+            raise IncorrectArgumentsError(
+                "Should not specify both vars and var_names arguments.")
+        vars = [model[x] for x in var_names]
+    elif vars is None:
+        vars = model.observed_RVs
+
+    if random_seed is not None:
+        np.random.seed(int(np.atleast_1d(random_seed)[0]))
+
+    # choose point indices (cycled / subsampled like the reference)
+    idx = np.mod(np.arange(samples), len(points))
+
+    out = model.sample_forward_conditional(points, idx, vars, size=size)
+
+    if keep_size:
+        out = {k: np.reshape(v, (nchain, len_trace) + np.shape(v)[1:])
+               for k, v in out.items()}
+    return out
+
+
+def fast_sample_posterior_predictive(trace, samples=None, model=None,
+                                     var_names=None, keep_size=False,
+                                     random_seed=None) -> Dict[str, np.ndarray]:
+    """Vectorized posterior predictive
+    (cf. ``distributions/posterior_predictive.py:124``). In this build the
+    standard path IS vectorized, so this is an alias."""
+    return sample_posterior_predictive(
+        trace, samples=samples, model=model, var_names=var_names,
+        keep_size=keep_size, random_seed=random_seed, progressbar=False)
+
+
+def sample_posterior_predictive_w(traces, samples=None, models=None,
+                                  weights=None, random_seed=None,
+                                  progressbar=True):
+    """Generate weighted posterior predictive samples from model mixtures
+    (cf. ``sampling.py:1636``)."""
+    if models is None:
+        models = [modelcontext(None)] * len(traces)
+    if weights is None:
+        weights = [1.0] * len(traces)
+    if len(traces) != len(weights) or len(models) != len(weights):
+        raise ValueError("The number of traces, models and weights must be "
+                         "the same")
+    if random_seed is not None:
+        np.random.seed(int(np.atleast_1d(random_seed)[0]))
+
+    weights = np.asarray(weights, dtype=float)
+    p = weights / weights.sum()
+
+    if samples is None:
+        samples = min(len(tr) * tr.nchains for tr in traces)
+
+    ns = np.random.multinomial(samples, p)
+    results = defaultdict(list)
+    for tr, m, n in zip(traces, models, ns):
+        if n == 0:
+            continue
+        sub = sample_posterior_predictive(tr, samples=int(n), model=m,
+                                          progressbar=False)
+        for k, v in sub.items():
+            results[k].append(v)
+    return {k: np.concatenate(v, axis=0) for k, v in results.items()}
+
+
+class IncorrectArgumentsError(ValueError):
+    pass
+
+
+def _dict_trace_to_points(trace: Dict[str, np.ndarray], model):
+    lengths = {len(np.atleast_1d(v)) for v in trace.values()}
+    if len(lengths) != 1:
+        raise ValueError("Arrays in trace dict must have equal length")
+    n = lengths.pop()
+    return [{k: np.asarray(v)[i] for k, v in trace.items()}
+            for i in range(n)]

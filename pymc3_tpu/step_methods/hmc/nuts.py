@@ -1,0 +1,434 @@
+"""No-U-Turn Sampler (cf. ``pymc3/step_methods/hmc/nuts.py``).
+
+The reference builds the trajectory tree by *Python recursion* with
+data-dependent control flow (``_Tree.extend`` / ``_build_subtree``,
+``nuts.py:220-389``) — up to 1023 leapfrog calls per draw, each crossing the
+Python/C boundary. That cannot run on an accelerator.
+
+This build uses the standard iterative reformulation: the outer doubling loop
+is a ``lax.while_loop`` over tree depth, and each subtree of ``2^depth``
+leaves is built leaf-by-leaf by an inner ``lax.while_loop`` with **O(log)
+memory U-turn checkpointing** — even-indexed leaves store (momentum,
+cumulative momentum sum) into a ``max_treedepth+1``-row stack; odd leaves
+check the generalized U-turn criterion against the contiguous checkpoint
+range identified by the leaf index's binary structure. Proposal selection is
+progressive multinomial within subtrees and biased across doublings
+(Stan-style, matching the reference's ``logbern`` scheme at
+``nuts.py:254-307``). Divergences trigger at ``ΔE > Emax``
+(``nuts.py:326-345``); the first 200 tuning draws cap the depth at 8
+(``nuts.py:169-172``).
+
+Everything is a pure function of pytrees, so the driver ``lax.scan``s draws,
+``vmap``s chains, and ``shard_map``s the chain axis over a TPU mesh.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ...config import floatX
+from ...model import modelcontext
+from ..arraystep import Competence, GradientSharedStep, TuneContext
+from ..step_sizes import DAState, da_init, da_update, da_current
+from .integration import IntegrationState, leapfrog, compute_state
+from .quadpotential import (
+    DiagAdaptState, diag_adapt_init, diag_adapt_update, diag_random,
+    QuadPotentialDiagAdapt,
+)
+
+__all__ = ["NUTS"]
+
+
+def _popcount(x):
+    """SWAR popcount for int32 (static-shape friendly)."""
+    x = x.astype(jnp.uint32)
+    x = x - ((x >> 1) & 0x55555555)
+    x = (x & 0x33333333) + ((x >> 2) & 0x33333333)
+    x = (x + (x >> 4)) & 0x0F0F0F0F
+    return ((x * 0x01010101) >> 24).astype(jnp.int32)
+
+
+def _trailing_ones(x):
+    """Number of trailing 1-bits of int32 ``x``."""
+    x = x.astype(jnp.uint32)
+    mask = (x ^ (x + 1)) >> 1  # mask of the trailing ones
+    return _popcount(mask)
+
+
+def _is_turning(var, p_left, p_right, rho):
+    """Generalized U-turn criterion (cf. ``nuts.py:299-307``):
+    the trajectory turns if the momentum sum points against the velocity at
+    either end."""
+    v_left = var * p_left
+    v_right = var * p_right
+    return (jnp.dot(rho, v_left) <= 0) | (jnp.dot(rho, v_right) <= 0)
+
+
+class _Proposal(NamedTuple):
+    q: jnp.ndarray
+    logp: jnp.ndarray
+    grad: jnp.ndarray
+    energy: jnp.ndarray
+
+
+class _SubtreeState(NamedTuple):
+    edge: IntegrationState        # current trajectory endpoint
+    prop: _Proposal               # subtree's multinomial proposal
+    p_first: jnp.ndarray          # momentum of first computed leaf
+    lsw: jnp.ndarray              # log sum of leaf weights
+    p_sum: jnp.ndarray            # momentum sum over computed leaves
+    sum_accept: jnp.ndarray       # Σ min(1, exp(-ΔE)) over leaves
+    max_eerr: jnp.ndarray         # signed ΔE with max |ΔE|
+    leaf_idx: jnp.ndarray         # int32, leaves computed so far
+    turning: jnp.ndarray          # bool
+    diverging: jnp.ndarray        # bool
+    r_ckpts: jnp.ndarray          # (D+1, n) checkpoint momenta
+    s_ckpts: jnp.ndarray          # (D+1, n) checkpoint cumulative sums
+    key: jnp.ndarray
+
+
+def _build_subtree(key, edge0, eps_signed, n_leaves, h0, var, logp_dlogp_fn,
+                   emax, max_treedepth):
+    """Build one subtree of ``n_leaves`` (=2^depth) leaves from ``edge0``
+    (cf. the recursive ``_build_subtree``, ``nuts.py:347``). Returns the
+    final _SubtreeState; the caller must check ``turning | diverging``."""
+    n = edge0.q.shape[-1]
+    zero_prop = _Proposal(edge0.q, edge0.model_logp, edge0.q_grad,
+                          edge0.energy)
+    init = _SubtreeState(
+        edge=edge0,
+        prop=zero_prop,
+        p_first=edge0.p,
+        lsw=jnp.asarray(-jnp.inf, floatX()),
+        p_sum=jnp.zeros((n,), floatX()),
+        sum_accept=jnp.asarray(0.0, floatX()),
+        max_eerr=jnp.asarray(0.0, floatX()),
+        leaf_idx=jnp.asarray(0, jnp.int32),
+        turning=jnp.asarray(False),
+        diverging=jnp.asarray(False),
+        r_ckpts=jnp.zeros((max_treedepth + 1, n), floatX()),
+        s_ckpts=jnp.zeros((max_treedepth + 1, n), floatX()),
+        key=key,
+    )
+
+    def cond(s: _SubtreeState):
+        return (s.leaf_idx < n_leaves) & ~s.turning & ~s.diverging
+
+    def body(s: _SubtreeState):
+        key, k_take = jax.random.split(s.key)
+        edge = leapfrog(logp_dlogp_fn, var, eps_signed, s.edge)
+
+        eerr = edge.energy - h0
+        eerr = jnp.where(jnp.isnan(eerr), jnp.inf, eerr)
+        diverging = eerr > emax
+        lw = -eerr
+        leaf_accept = jnp.exp(jnp.minimum(jnp.asarray(0.0, floatX()), -eerr))
+        leaf_accept = jnp.where(jnp.isnan(leaf_accept), 0.0, leaf_accept)
+
+        new_lsw = jnp.logaddexp(s.lsw, lw)
+        take = jnp.log(jax.random.uniform(k_take, (), floatX())) < lw - new_lsw
+        prop = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(take, a, b),
+            _Proposal(edge.q, edge.model_logp, edge.q_grad, edge.energy),
+            s.prop)
+
+        p_sum = s.p_sum + edge.p
+        p_first = jnp.where(s.leaf_idx == 0, edge.p, s.p_first)
+
+        leaf = s.leaf_idx
+        even = (leaf % 2) == 0
+        row = _popcount(leaf >> 1)  # storage row for even leaves
+        r_ckpts = jnp.where(even,
+                            s.r_ckpts.at[row].set(edge.p), s.r_ckpts)
+        s_ckpts = jnp.where(even,
+                            s.s_ckpts.at[row].set(p_sum), s.s_ckpts)
+
+        # odd leaf: check U-turn for every complete sub-subtree ending here
+        idx_max = _popcount(leaf >> 1)
+        idx_min = idx_max - _trailing_ones(leaf) + 1
+        rows = jnp.arange(max_treedepth + 1, dtype=jnp.int32)
+        active = (~even) & (rows >= idx_min) & (rows <= idx_max)
+        span_sums = p_sum[None, :] - s_ckpts + r_ckpts       # (D+1, n)
+        v_l = var[None, :] * r_ckpts
+        v_r = var * edge.p
+        t_rows = (jnp.einsum("dn,dn->d", span_sums, v_l) <= 0) | \
+                 (span_sums @ v_r <= 0)
+        turning = jnp.any(active & t_rows)
+
+        new_max = jnp.where(jnp.abs(eerr) > jnp.abs(s.max_eerr), eerr,
+                            s.max_eerr)
+        return _SubtreeState(
+            edge=edge, prop=prop, p_first=p_first, lsw=new_lsw, p_sum=p_sum,
+            sum_accept=s.sum_accept + leaf_accept,
+            max_eerr=new_max,
+            leaf_idx=leaf + 1,
+            turning=turning, diverging=diverging,
+            r_ckpts=r_ckpts, s_ckpts=s_ckpts, key=key)
+
+    return lax.while_loop(cond, body, init)
+
+
+class _TreeState(NamedTuple):
+    left: IntegrationState
+    right: IntegrationState
+    prop: _Proposal
+    lsw: jnp.ndarray
+    rho: jnp.ndarray
+    depth: jnp.ndarray
+    n_leapfrog: jnp.ndarray
+    sum_accept: jnp.ndarray
+    max_eerr: jnp.ndarray
+    turning: jnp.ndarray
+    diverging: jnp.ndarray
+    key: jnp.ndarray
+
+
+def nuts_draw(key, start: IntegrationState, h0, step_size, var,
+              logp_dlogp_fn, max_treedepth_t, emax, max_treedepth_static):
+    """One NUTS transition from ``start`` with drawn momentum already in the
+    state (cf. ``NUTS._hamiltonian_step``, ``nuts.py:168``).
+
+    ``max_treedepth_t`` is the *traced* depth cap (8 during early tuning);
+    ``max_treedepth_static`` bounds the checkpoint stack size.
+    """
+    init = _TreeState(
+        left=start, right=start,
+        prop=_Proposal(start.q, start.model_logp, start.q_grad, start.energy),
+        lsw=jnp.asarray(0.0, floatX()),
+        rho=start.p,
+        depth=jnp.asarray(0, jnp.int32),
+        n_leapfrog=jnp.asarray(0, jnp.int32),
+        sum_accept=jnp.asarray(0.0, floatX()),
+        max_eerr=jnp.asarray(0.0, floatX()),
+        turning=jnp.asarray(False),
+        diverging=jnp.asarray(False),
+        key=key,
+    )
+
+    def cond(t: _TreeState):
+        return (t.depth < max_treedepth_t) & ~t.turning & ~t.diverging
+
+    def body(t: _TreeState):
+        key, k_dir, k_tree, k_swap = jax.random.split(t.key, 4)
+        go_right = jax.random.bernoulli(k_dir)
+        eps_signed = jnp.where(go_right, step_size, -step_size)
+        edge0 = jax.tree_util.tree_map(
+            lambda l, r: jnp.where(go_right, r, l), t.left, t.right)
+
+        n_leaves = jnp.left_shift(jnp.asarray(1, jnp.int32), t.depth)
+        sub = _build_subtree(k_tree, edge0, eps_signed, n_leaves, h0, var,
+                             logp_dlogp_fn, emax, max_treedepth_static)
+
+        ok = ~sub.turning & ~sub.diverging
+
+        # biased progressive proposal merge across the doubling
+        accept_p = jnp.exp(jnp.minimum(jnp.asarray(0.0, floatX()),
+                                       sub.lsw - t.lsw))
+        swap = ok & (jax.random.uniform(k_swap, (), floatX()) < accept_p)
+        prop = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(swap, a, b), sub.prop, t.prop)
+
+        lsw = jnp.where(ok, jnp.logaddexp(t.lsw, sub.lsw), t.lsw)
+        rho = t.rho + sub.p_sum
+        left = jax.tree_util.tree_map(
+            lambda l, e: jnp.where(go_right, l, e), t.left, sub.edge)
+        right = jax.tree_util.tree_map(
+            lambda r, e: jnp.where(go_right, e, r), t.right, sub.edge)
+
+        # Merged-tree turning checks (cf. nuts.py:299-307,361-370 — the three
+        # boundary combinations, Stan-style):
+        #   old tree = [t.left, t.right] with momentum sum t.rho,
+        #   new subtree boundaries in trajectory order:
+        p_sub_near = sub.p_first     # leaf adjacent to the old tree
+        p_sub_far = sub.edge.p       # new outermost leaf
+        p_ll = jnp.where(go_right, t.left.p, p_sub_far)
+        p_lr = jnp.where(go_right, t.right.p, p_sub_near)
+        p_rl = jnp.where(go_right, p_sub_near, t.left.p)
+        p_rr = jnp.where(go_right, p_sub_far, t.right.p)
+        rho_left = jnp.where(go_right, t.rho, sub.p_sum)
+        rho_right = jnp.where(go_right, sub.p_sum, t.rho)
+        turn_full = _is_turning(var, p_ll, p_rr, rho)
+        turn_c1 = _is_turning(var, p_ll, p_rl, rho_left + p_rl)
+        turn_c2 = _is_turning(var, p_lr, p_rr, rho_right + p_lr)
+        merged_turning = ok & (turn_full | turn_c1 | turn_c2)
+
+        return _TreeState(
+            left=left, right=right, prop=prop, lsw=lsw, rho=rho,
+            depth=t.depth + 1,
+            n_leapfrog=t.n_leapfrog + sub.leaf_idx,
+            sum_accept=t.sum_accept + sub.sum_accept,
+            max_eerr=jnp.where(jnp.abs(sub.max_eerr) > jnp.abs(t.max_eerr),
+                               sub.max_eerr, t.max_eerr),
+            turning=sub.turning | merged_turning,
+            diverging=sub.diverging,
+            key=key)
+
+    return lax.while_loop(cond, body, init)
+
+
+class NutsKernelState(NamedTuple):
+    """Per-chain NUTS state threaded through the draw scan."""
+
+    q: jnp.ndarray
+    logp: jnp.ndarray
+    grad: jnp.ndarray
+    da: DAState
+    pot: DiagAdaptState
+
+
+class NUTS(GradientSharedStep):
+    """Adaptive No-U-Turn sampler (cf. ``nuts.py:36``)."""
+
+    name = "nuts"
+    default_blocked = True
+    generates_stats = True
+    stats_dtypes = [{
+        "depth": np.int64,
+        "step_size": np.float64,
+        "tune": bool,
+        "mean_tree_accept": np.float64,
+        "step_size_bar": np.float64,
+        "tree_size": np.float64,
+        "diverging": bool,
+        "energy_error": np.float64,
+        "energy": np.float64,
+        "max_energy_error": np.float64,
+        "model_logp": np.float64,
+    }]
+
+    def __init__(self, vars=None, max_treedepth=10, early_max_treedepth=8,
+                 target_accept=0.8, step_scale=0.25, Emax=1000,
+                 adapt_step_size=True, step_rand=None, potential=None,
+                 model=None, scaling=None, is_cov=False,
+                 gamma=0.05, k=0.75, t0=10, axis_name=None, **kwargs):
+        model = modelcontext(model)
+        if vars is None:
+            vars = model.cont_vars
+        kwargs.pop("blocked", None)
+        super().__init__(vars, model=model, blocked=True, **kwargs)
+
+        self.max_treedepth = int(max_treedepth)
+        self.early_max_treedepth = int(early_max_treedepth)
+        self.target_accept = float(target_accept)
+        self.Emax = float(Emax)
+        self.adapt_step_size = bool(adapt_step_size)
+        self.gamma, self.k, self.t0 = gamma, k, t0
+        self.tune = True
+        self.axis_name = axis_name
+
+        size = self.dim
+        self.step_size = float(step_scale) / (size ** 0.25)
+
+        if scaling is not None:
+            from .quadpotential import quad_potential
+            potential = quad_potential(scaling, is_cov)
+        if potential is not None:
+            self.potential = potential
+        else:
+            mean = np.asarray(
+                np.concatenate([np.ravel(v.test_value) for v in self.vars])
+                if self.vars else np.zeros(size), dtype=floatX())
+            self.potential = QuadPotentialDiagAdapt(size, mean)
+
+        self._partial = self.q_indices.size != model.ordering.size
+        self._sub_idx = jnp.asarray(self.q_indices, jnp.int32)
+        full_logp = self._logp_fn
+
+        if self._partial:
+            idx = self._sub_idx
+
+            def sub_logp(x, q_ctx):
+                return full_logp(q_ctx.at[idx].set(x))
+            self._kernel_logp = sub_logp
+        else:
+            self._kernel_logp = lambda x, q_ctx: full_logp(x)
+
+    # -- functional kernel ---------------------------------------------------
+    def kernel_init(self, q0):
+        q0 = jnp.asarray(q0, floatX())
+        x0 = q0[self._sub_idx] if self._partial else q0
+        lp_fn = lambda x: self._kernel_logp(x, q0)
+        logp, grad = jax.value_and_grad(lp_fn)(x0)
+        da = da_init(jnp.asarray(self.step_size, floatX()),
+                     target=self.target_accept)
+        pot = self.potential.init_kernel_state()
+        return NutsKernelState(q=x0, logp=logp, grad=grad, da=da, pot=pot)
+
+    def kernel_step(self, key, q, state: NutsKernelState, tctx: TuneContext):
+        q = jnp.asarray(q, floatX())
+        lp_fn = jax.value_and_grad(lambda x: self._kernel_logp(x, q))
+        k_mom, k_tree = jax.random.split(key)
+
+        eps = da_current(state.da, tctx.tune)
+        var = state.pot.var
+        p0 = diag_random(k_mom, state.pot.inv_stds)
+
+        x0 = q[self._sub_idx] if self._partial else q
+        v0 = var * p0
+        kinetic = 0.5 * jnp.dot(p0, v0)
+        start = IntegrationState(q=x0, p=p0, v=v0, q_grad=state.grad,
+                                 energy=kinetic - state.logp,
+                                 model_logp=state.logp)
+        h0 = start.energy
+
+        early = tctx.tune & (tctx.step_idx < 200)
+        mtd = jnp.where(
+            early,
+            jnp.asarray(min(self.early_max_treedepth, self.max_treedepth),
+                        jnp.int32),
+            jnp.asarray(self.max_treedepth, jnp.int32))
+
+        tree = nuts_draw(k_tree, start, h0, eps, var, lp_fn, mtd,
+                         jnp.asarray(self.Emax, floatX()),
+                         self.max_treedepth)
+
+        n_leaf = jnp.maximum(tree.n_leapfrog, 1)
+        mean_accept = tree.sum_accept / n_leaf.astype(floatX())
+
+        da_new = da_update(state.da, mean_accept,
+                           tctx.tune & self.adapt_step_size,
+                           target=self.target_accept, gamma=self.gamma,
+                           k=self.k, t0=self.t0)
+        pot_new = diag_adapt_update(
+            state.pot, tree.prop.q, tctx.tune,
+            adaptation_window=getattr(self.potential, "adaptation_window", 101),
+            axis_name=self.axis_name) \
+            if getattr(self.potential, "adapts", False) else state.pot
+
+        q_new = q.at[self._sub_idx].set(tree.prop.q) if self._partial \
+            else tree.prop.q
+        new_state = NutsKernelState(q=tree.prop.q, logp=tree.prop.logp,
+                                    grad=tree.prop.grad, da=da_new,
+                                    pot=pot_new)
+        stats = {
+            "depth": tree.depth,
+            "step_size": eps,
+            "tune": tctx.tune,
+            "mean_tree_accept": mean_accept,
+            "step_size_bar": jnp.exp(da_new.log_bar_step),
+            "tree_size": tree.n_leapfrog.astype(floatX()),
+            "diverging": tree.diverging & ~tctx.tune,
+            "energy_error": tree.prop.energy - h0,
+            "energy": tree.prop.energy,
+            "max_energy_error": tree.max_eerr,
+            "model_logp": tree.prop.logp,
+        }
+        return q_new, new_state, stats
+
+    @staticmethod
+    def competence(var, has_grad=False):
+        """cf. ``nuts.py:195``."""
+        dist = getattr(var, "distribution", None)
+        dtype = getattr(dist, "dtype", None) or getattr(var, "dtype", None)
+        from ...vartypes import continuous_types
+        if str(np.dtype(dtype)) in continuous_types and has_grad:
+            return Competence.IDEAL
+        return Competence.INCOMPATIBLE
+
+    def warnings(self):
+        return []
