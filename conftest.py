@@ -47,6 +47,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/pymc3_tpu_jax_cache_cpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# Machine-specific persistent cache: XLA:CPU AOT artifacts are CPU-feature
+# specific — a dir shared across heterogeneous hosts loads executables
+# compiled for other machines (wrong numerics / SIGILL risk).
+from pymc3_tpu.config import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -61,3 +61,22 @@ from .stats import (
 )
 from .tuning import find_MAP, find_hessian
 from . import parallel
+
+from . import variational
+from .variational import (
+    ADVI, ASVGD, NFVI, SVGD, FullRankADVI, Empirical, FullRank, MeanField,
+    NormalizingFlow, KLqp, fit, sample_approx,
+)
+from .smc import sample_smc, SMC
+
+from . import gp
+from . import glm
+from .glm import GLM, LinearComponent
+from . import ode
+from .ode import DifferentialEquation
+from . import plots
+from .plots import (
+    traceplot, plot_posterior, forestplot, energyplot, autocorrplot,
+    densityplot, pairplot, compareplot, plot_posterior_predictive_glm,
+)
+from .model_graph import model_to_graphviz

@@ -63,6 +63,35 @@ def set_config(**kwargs: Any) -> Config:
     return _config
 
 
+def enable_compilation_cache(tag: str = "") -> str:
+    """Point JAX's persistent compilation cache at a machine-specific dir.
+
+    XLA:CPU AOT executables are machine-feature-specific; a cache shared
+    across heterogeneous hosts loads binaries compiled for other CPUs
+    (silently wrong numerics / SIGILL risk). Key the directory by backend +
+    a hash of the host CPU flags.
+    """
+    import hashlib
+    import jax
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    sig = hashlib.md5(line.encode()).hexdigest()[:10]
+                    break
+            else:
+                sig = "nocpuinfo"
+    except OSError:
+        sig = "nocpuinfo"
+    backend = jax.default_backend()
+    path = f"/tmp/pymc3_tpu_jax_cache_{backend}_{sig}"
+    if tag:
+        path += f"_{tag}"
+    jax.config.update("jax_compilation_cache_dir", path)
+    return path
+
+
 def floatX(x=None):
     """Cast ``x`` to the configured float dtype, or return the dtype name.
 

@@ -47,8 +47,48 @@ def TensorType(dtype, shape, broadcastable=None):
     return (np.dtype(dtype), tuple(shape))
 
 
+class _DistMethodNode(Node):
+    """Symbolic ``dist.logp(value_node)`` / ``logcdf`` result: evaluating it
+    against an environment resolves both the value and the distribution's
+    parameters (the reference returns a Theano expression here;
+    cf. ``distribution.py:117-137``)."""
+
+    __slots__ = ("dist", "value", "method", "_test_value", "name")
+
+    def __init__(self, dist, value, method):
+        self.dist = dist
+        self.value = value
+        self.method = method
+        self.name = None
+        raw = getattr(type(dist), method)
+        self._test_value = np.asarray(raw(dist, value.test_value, {}, {}))
+
+    def _eval(self, env, memo):
+        from ..node import _ev
+        raw = getattr(type(self.dist), self.method)
+        return raw(self.dist, _ev(self.value, env, memo), env, memo)
+
+
 class Distribution:
     """Statistical distribution base (cf. ``distribution.py:46``)."""
+
+    def __init_subclass__(cls, **kwargs):
+        super().__init_subclass__(**kwargs)
+        # dispatch symbolic values: dist.logp(node) -> node
+        for method in ("logp", "logcdf"):
+            raw = cls.__dict__.get(method)
+            if raw is None:
+                continue
+
+            def wrapped(self, value, env=None, memo=None, _raw=raw,
+                        _name=method):
+                if isinstance(value, Node) and env is None:
+                    return _DistMethodNode(self, value, _name)
+                return _raw(self, value, env, memo)
+
+            wrapped.__name__ = method
+            wrapped.__doc__ = raw.__doc__
+            setattr(cls, method, wrapped)
 
     def __new__(cls, name, *args, **kwargs):
         from ..model import Model
@@ -119,7 +159,11 @@ class Distribution:
 
     def logp_sum(self, value, env=None, memo=None):
         """Summed log-density (cf. ``distribution.py:137``)."""
-        return jnp.sum(self.logp(value, env, memo))
+        out = self.logp(value, env, memo)
+        if isinstance(out, Node):
+            from ..node import apply as node_apply
+            return node_apply(jnp.sum, out)
+        return jnp.sum(out)
 
     def logp_nojac(self, value, env=None, memo=None):
         """logp without transform jacobian (cf. ``distribution.py:123``) —

@@ -234,6 +234,13 @@ class ObservedRV(NamedNode, Factor):
         self.model = model
         self.missing_values = None
         self._missing_idx = None
+        self.data_node = None
+
+        if isinstance(data, Node) and not isinstance(data, ConstantNode):
+            # symbolic observed data (pm.Data / pm.Minibatch): evaluated at
+            # trace time so VI minibatching stays on-device
+            self.data_node = data
+            data = np.asarray(data.test_value)
 
         data = _as_observed_array(data, distribution.dtype)
         mask = None
@@ -249,6 +256,11 @@ class ObservedRV(NamedNode, Factor):
         if self.data.dtype.kind == "f":
             self.data = floatX(self.data)
         self._test_value = self.data
+        # the observed variable's shape is the data's shape — forward draws
+        # must produce it even when params are scalar (cf. model.py:975
+        # passing data shape into the distribution)
+        if not distribution.shape and self.data.ndim > 0:
+            distribution.shape = tuple(self.data.shape)
 
         if mask is not None and mask.any():
             from .distributions.distribution import NoDistribution
@@ -278,6 +290,8 @@ class ObservedRV(NamedNode, Factor):
 
     def value_node_eval(self, env, memo):
         """Observed value with imputed entries spliced in (traceable)."""
+        if self.data_node is not None:
+            return _ev(self.data_node, env, memo)
         base = jnp.asarray(self.data)
         if self.missing_values is not None:
             miss = _ev(self.missing_values, env, memo)
@@ -573,8 +587,22 @@ class Model(WithMemoization, metaclass=ContextMeta):
             total = total + jnp.sum(_ev(pot, env, memo))
         return total
 
-    def make_logp_fn(self, jacobian=True):
-        """Pure q -> scalar logp function (traceable, vmappable)."""
+    def make_logp_fn(self, jacobian=True, with_rng=False):
+        """Pure q -> scalar logp function (traceable, vmappable).
+
+        With ``with_rng`` the function takes ``(q, key)`` and exposes the key
+        to Minibatch nodes via the environment (``data.RNG_ENV_KEY``) so
+        stochastic-VI minibatching is pure device-side indexing."""
+        if with_rng:
+            from .data import RNG_ENV_KEY
+
+            def logp_rng(q, key):
+                q = jnp.asarray(q, dtype=floatX())
+                env = self._env_from_q(q)
+                env[RNG_ENV_KEY] = key
+                return self.logp_from_env(env, jacobian=jacobian)
+            return logp_rng
+
         def logp(q):
             q = jnp.asarray(q, dtype=floatX())
             env = self._env_from_q(q)

@@ -12,7 +12,6 @@ backend once, replacing the per-draw pipe round-trip.
 from __future__ import annotations
 
 import logging
-import pickle
 import time
 import warnings
 from collections import defaultdict
@@ -101,8 +100,8 @@ def assign_step_methods(model, step=None, methods=STEP_METHODS,
             continue
         # determine if the variable participates in a differentiable density
         has_grad = _has_grad(model, var)
-        selected = max(methods, key=lambda method,
-                       var=var: method._competence(var, has_grad))
+        selected = max(methods,
+                       key=lambda method: method.competence(var, has_grad))
         selected_steps[selected].append(var)
 
     return instantiate_steppers(model, steps, selected_steps, step_kwargs)
@@ -118,16 +117,6 @@ def _has_grad(model, var):
         return bool(np.all(np.isfinite(g[vm.slc])))
     except Exception:
         return False
-
-
-# monkey-level helper: classes expose `competence`; normalize to callable
-def _competence(cls, var, has_grad):
-    return cls.competence(var, has_grad)
-
-
-for _cls in STEP_METHODS:
-    _cls._competence = classmethod(
-        lambda cls, var, has_grad: cls.competence(var, has_grad))
 
 
 def _empty_model_error(model):
@@ -487,6 +476,7 @@ def _iter_sample(draws, step, start=None, trace=None, chain=0, tune=None,
     """Single-chain host-side sampling generator (cf. ``sampling.py:847``)."""
     model = modelcontext(model)
     draws = int(draws)
+    tune = int(tune) if tune is not None else 0
     if random_seed is not None:
         np.random.seed(int(np.asarray(random_seed).ravel()[0]))
     if draws < 1:
@@ -604,13 +594,12 @@ def init_nuts(init="auto", chains=1, n_init=500000, model=None,
               CheckParametersConvergence(tolerance=1e-2, diff="relative")]
         approx = vi_fit(random_seed=random_seed, n=n_init, method="advi",
                         model=model, callbacks=cb,
-                        progressbar=progressbar,
-                        obj_optimizer_kwargs={})
-        start = approx.sample(draws=chains)
-        start = [{k: np.asarray(start.point(i)[k]) for k in
+                        progressbar=progressbar)
+        approx_trace = approx.sample(draws=chains)
+        start = [{k: np.asarray(approx_trace.point(i)[k]) for k in
                   model.ordering.by_name} for i in range(chains)]
-        mean = approx.mean_field_params()["mu"]
-        std = approx.mean_field_params()["std"]
+        mean = np.asarray(approx.mean)
+        std = np.asarray(approx.std)
         cov = std ** 2
         if init == "advi+adapt_diag" or init == "advi+adapt_diag_grad":
             potential = QuadPotentialDiagAdapt(n, mean, cov, 50)

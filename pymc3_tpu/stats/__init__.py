@@ -18,10 +18,12 @@ from scipy import stats as st
 
 __all__ = [
     "bfmi", "compare", "ess", "geweke", "hpd", "loo", "mcse", "r2_score",
-    "rhat", "summary", "waic",
+    "rhat", "summary", "waic", "rhat_device", "ess_device",
     # deprecated aliases kept for parity (stats/__init__.py:56-80)
     "effective_n", "gelman_rubin",
 ]
+
+from .device import rhat_device, ess_device  # noqa: E402
 
 
 # ---------------------------------------------------------------------------

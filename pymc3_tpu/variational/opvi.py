@@ -149,8 +149,10 @@ class ObjectiveFunction:
         per_sample = self.op.apply(self.tf)
 
         def loss(params, key):
-            z, logq = approx.sample_q(key, params, nmc)
-            vals = jax.vmap(lambda zi, lqi: per_sample(zi, lqi))(z, logq)
+            k_q, k_mb = jax.random.split(key)
+            z, logq = approx.sample_q(k_q, params, nmc)
+            mb_keys = jax.random.split(k_mb, nmc)
+            vals = jax.vmap(per_sample)(z, logq, mb_keys)
             return jnp.mean(vals)
         return loss
 

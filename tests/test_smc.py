@@ -1,0 +1,84 @@
+"""SMC tests (cf. ``pymc3/tests/test_smc.py``)."""
+import numpy as np
+import pytest
+
+import pymc3_tpu as pm
+
+
+class TestSMC:
+    def setup_method(self):
+        self.n = 4
+        mu1 = np.ones(self.n) * 0.5
+        mu2 = -mu1
+        stdev = 0.1
+        sigma = np.power(stdev, 2) * np.eye(self.n)
+        isigma = np.linalg.inv(sigma)
+        dsigma = np.linalg.det(sigma)
+        w1 = stdev
+        w2 = 1 - stdev
+
+        def two_gaussians_logp(x):
+            import jax.numpy as jnp
+            log_like1 = (
+                -0.5 * self.n * jnp.log(2 * np.pi)
+                - 0.5 * np.log(dsigma)
+                - 0.5 * (x - mu1) @ isigma @ (x - mu1))
+            log_like2 = (
+                -0.5 * self.n * jnp.log(2 * np.pi)
+                - 0.5 * np.log(dsigma)
+                - 0.5 * (x - mu2) @ isigma @ (x - mu2))
+            return jnp.logaddexp(jnp.log(w1) + log_like1,
+                                 jnp.log(w2) + log_like2)
+
+        from pymc3_tpu.node import apply as node_apply
+        with pm.Model() as self.SMC_test:
+            X = pm.Uniform("X", lower=-2, upper=2, shape=self.n)
+            llk = pm.Potential("muh", node_apply(two_gaussians_logp, X))
+        self.muref = mu1
+
+    def test_sample_bimodal(self):
+        trace = pm.sample_smc(draws=2000, model=self.SMC_test, random_seed=1,
+                              n_steps=20)
+        x = trace["X"]
+        # dominant mode is mu2 = -0.5 (weight 0.9)
+        mode_sign = np.sign(x.mean(axis=0))
+        assert np.all(mode_sign == -1) or \
+            np.mean(np.abs(x.mean(axis=0) + 0.5) < 0.2) > 0.5
+        # both modes present?
+        frac_pos = np.mean(x[:, 0] > 0)
+        assert 0.01 < frac_pos < 0.4
+
+    def test_marginal_likelihood(self):
+        """Beta-binomial evidence is analytic (cf. test_smc.py ml check)."""
+        data = np.repeat([1, 0], [50, 50]).astype(np.int32)
+        marginals = []
+        a_prior, b_prior = 1.0, 1.0
+        with pm.Model() as model:
+            a = pm.Beta("a", a_prior, b_prior)
+            y = pm.Bernoulli("y", a, observed=data)
+        trace = pm.sample_smc(2000, model=model, random_seed=2)
+        # analytic log evidence: log B(a0+50, b0+50) - log B(a0,b0)
+        from scipy.special import betaln
+        expected = betaln(a_prior + 50, b_prior + 50) - \
+            betaln(a_prior, b_prior)
+        assert abs(trace.report.log_marginal_likelihood - expected) < 1.0
+
+
+def test_smc_abc():
+    """SMC-ABC with a Simulator (cf. ``smc.py:386`` PseudoLikelihood)."""
+    np.random.seed(3)
+    data = np.random.normal(loc=1.2, scale=1.0, size=200).astype(np.float32)
+
+    def normal_sim(a, b):
+        import jax
+        import jax.numpy as jnp
+        # jax-traceable simulator: moment-matched gaussian summary
+        return a + b * jnp.zeros(200)
+
+    with pm.Model() as model:
+        a = pm.Normal("a", mu=0, sigma=5)
+        b = pm.HalfNormal("b", sigma=2)
+        s = pm.Simulator("s", normal_sim, a, b, observed=data)
+    trace = pm.sample_smc(draws=1000, kernel="abc", epsilon=0.5,
+                          model=model, random_seed=4)
+    assert abs(trace["a"].mean() - data.mean()) < 0.5

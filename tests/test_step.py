@@ -1,0 +1,160 @@
+"""Step-method tests (cf. ``pymc3/tests/test_step.py``; statistical checks
+instead of the reference's golden traces — SURVEY §4.3)."""
+import numpy as np
+import pytest
+import jax
+
+import pymc3_tpu as pm
+from pymc3_tpu.step_methods import (
+    NUTS, HamiltonianMC, Metropolis, Slice, BinaryGibbsMetropolis,
+    CategoricalGibbsMetropolis, DEMetropolisZ, CompoundStep, Competence,
+)
+from pymc3_tpu.step_methods.hmc.integration import (
+    IntegrationState, compute_state, leapfrog,
+)
+
+from . import models
+
+
+class TestLeapfrogReversible:
+    """cf. ``pymc3/tests/test_hmc.py`` leapfrog reversibility."""
+
+    def test_reversibility(self):
+        _, model, _ = models.simple_model()
+        logp_fn = jax.value_and_grad(model.make_logp_fn())
+        import jax.numpy as jnp
+        n = model.ordering.size
+        var = jnp.ones(n)
+        key = jax.random.PRNGKey(0)
+        q = jax.random.normal(key, (n,))
+        p = jax.random.normal(jax.random.PRNGKey(1), (n,))
+        state = compute_state(logp_fn, var, q, p)
+        eps = 0.1
+        fwd = state
+        for _ in range(8):
+            fwd = leapfrog(logp_fn, var, eps, fwd)
+        back = IntegrationState(q=fwd.q, p=-fwd.p, v=-fwd.v,
+                                q_grad=fwd.q_grad, energy=fwd.energy,
+                                model_logp=fwd.model_logp)
+        for _ in range(8):
+            back = leapfrog(logp_fn, var, eps, back)
+        np.testing.assert_allclose(np.asarray(back.q), np.asarray(q),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(-back.p), np.asarray(p),
+                                   atol=1e-4)
+
+    def test_energy_conservation(self):
+        _, model, _ = models.simple_model()
+        logp_fn = jax.value_and_grad(model.make_logp_fn())
+        import jax.numpy as jnp
+        n = model.ordering.size
+        var = jnp.ones(n)
+        q = jnp.zeros(n) + 0.3
+        p = jnp.ones(n) * 0.7
+        state = compute_state(logp_fn, var, q, p)
+        e0 = float(state.energy)
+        for _ in range(100):
+            state = leapfrog(logp_fn, var, 0.01, state)
+        assert abs(float(state.energy) - e0) < 1e-2
+
+
+class TestStepCompetence:
+    def test_assignments(self):
+        with pm.Model() as model:
+            x = pm.Normal("x", 0, 1)
+            steps = pm.assign_step_methods(model)
+        assert isinstance(steps, NUTS)
+
+    def test_discrete_goes_metropolis(self):
+        with pm.Model() as model:
+            z = pm.Poisson("z", 2.0)
+            steps = pm.assign_step_methods(model)
+        assert isinstance(steps, Metropolis)
+
+    def test_binary(self):
+        with pm.Model() as model:
+            b = pm.Bernoulli("b", 0.5)
+            steps = pm.assign_step_methods(model)
+        assert isinstance(steps, BinaryGibbsMetropolis)
+
+    def test_mixed_compound(self):
+        with pm.Model() as model:
+            x = pm.Normal("x", 0, 1)
+            z = pm.Poisson("z", 2.0)
+            steps = pm.assign_step_methods(model)
+        assert isinstance(steps, list) or isinstance(steps, CompoundStep)
+
+
+class TestMetropolisTuning:
+    def test_scaling_tunes(self):
+        """Proposal scaling must adapt towards reasonable acceptance."""
+        _, model, _ = models.simple_model()
+        with model:
+            step = Metropolis(vars=model.free_RVs, blocked=True, scaling=100.0)
+            trace = pm.sample(draws=200, tune=600, chains=1, step=step,
+                              progressbar=False, random_seed=1,
+                              compute_convergence_checks=False)
+        final_scaling = trace.get_sampler_stats("scaling")[-1]
+        assert final_scaling < 100.0
+
+
+class TestDEMetropolisZ:
+    def test_sampling(self):
+        _, model, _ = models.simple_model()
+        with model:
+            step = DEMetropolisZ(model=model)
+            trace = pm.sample(draws=1500, tune=800, chains=2, step=step,
+                              progressbar=False, random_seed=1,
+                              compute_convergence_checks=False)
+        x = trace["x"]
+        assert abs(x.mean() + 2.1) < 0.3
+        assert "lambda" in trace.stat_names
+
+
+class TestHamiltonianMC:
+    def test_sampling(self):
+        _, model, _ = models.simple_model()
+        with model:
+            step = HamiltonianMC(model=model, path_length=1.0)
+            trace = pm.sample(draws=1500, tune=800, chains=2, step=step,
+                              progressbar=False, random_seed=2,
+                              compute_convergence_checks=False)
+        x = trace["x"]
+        assert abs(x.mean() + 2.1) < 0.3
+        assert "n_steps" in trace.stat_names
+
+
+class TestNutsDiagnostics:
+    def test_divergences_flagged(self):
+        """Funnel-like geometry should produce divergence stats."""
+        with pm.Model() as model:
+            v = pm.Normal("v", 0, 3)
+            x = pm.Normal("x", 0, (v / 2).exp())
+            trace = pm.sample(draws=500, tune=300, chains=2,
+                              progressbar=False, random_seed=5,
+                              nuts={"target_accept": 0.7},
+                              compute_convergence_checks=False)
+        div = trace.get_sampler_stats("diverging")
+        assert div.dtype == bool  # present & typed
+
+    def test_max_treedepth_stat(self):
+        _, model, _ = models.simple_model()
+        with model:
+            step = NUTS(model=model, max_treedepth=3)
+            trace = pm.sample(draws=200, tune=200, chains=1, step=step,
+                              progressbar=False, random_seed=6,
+                              compute_convergence_checks=False)
+        assert trace.get_sampler_stats("depth").max() <= 3
+
+
+class TestCategoricalGibbs:
+    def test_sampling(self):
+        p = np.array([0.1, 0.4, 0.5], dtype=np.float32)
+        with pm.Model() as model:
+            c = pm.Categorical("c", p=p)
+            trace = pm.sample(draws=3000, tune=500, chains=1,
+                              progressbar=False, random_seed=7,
+                              compute_convergence_checks=False)
+        vals = trace["c"].astype(int)
+        freq = np.bincount(vals, minlength=3) / len(vals)
+        np.testing.assert_allclose(freq, p, atol=0.07)

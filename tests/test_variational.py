@@ -1,0 +1,141 @@
+"""VI tests (cf. ``pymc3/tests/test_variational_inference.py``): ELBO on a
+conjugate model, all fit methods, callbacks."""
+import numpy as np
+import pytest
+
+import pymc3_tpu as pm
+from pymc3_tpu import variational as v
+
+
+@pytest.fixture(scope="module")
+def conjugate():
+    np.random.seed(0)
+    data = (np.random.randn(80) + 2.0).astype(np.float32)
+    with pm.Model() as model:
+        mu = pm.Normal("mu", 0.0, 10.0)
+        pm.Normal("obs", mu=mu, sigma=1.0, observed=data)
+    # analytic posterior
+    n = len(data)
+    post_var = 1.0 / (1.0 / 100.0 + n)
+    post_mu = post_var * data.sum()
+    return model, post_mu, np.sqrt(post_var)
+
+
+def test_advi_conjugate(conjugate):
+    model, post_mu, post_sd = conjugate
+    approx = v.fit(n=4000, method="advi", model=model, random_seed=1,
+                   progressbar=False,
+                   obj_optimizer=v.updates.adam(learning_rate=0.05),
+                   obj_n_mc=3)
+    assert abs(approx.mean[0] - post_mu) < 0.1
+    assert abs(approx.std[0] - post_sd) < 0.05
+    assert np.isfinite(approx.hist).all()
+    # loss decreased
+    assert np.mean(approx.hist[-100:]) < np.mean(approx.hist[:100])
+
+
+def test_fullrank_conjugate(conjugate):
+    model, post_mu, post_sd = conjugate
+    approx = v.fit(n=4000, method="fullrank_advi", model=model,
+                   random_seed=1, progressbar=False,
+                   obj_optimizer=v.updates.adam(learning_rate=0.05),
+                   obj_n_mc=3)
+    assert abs(approx.mean[0] - post_mu) < 0.15
+    assert abs(approx.std[0] - post_sd) < 0.1
+
+
+def test_svgd(conjugate):
+    model, post_mu, post_sd = conjugate
+    approx = v.fit(n=400, method="svgd", model=model, progressbar=False,
+                   inf_kwargs={"n_particles": 60},
+                   obj_optimizer=v.updates.adam(learning_rate=0.1))
+    assert abs(approx.mean[0] - post_mu) < 0.3
+
+
+def test_nfvi(conjugate):
+    model, post_mu, post_sd = conjugate
+    approx = v.fit(n=4000, method="nfvi=scale-loc", model=model,
+                   progressbar=False,
+                   obj_optimizer=v.updates.adam(learning_rate=0.05))
+    assert abs(approx.mean[0] - post_mu) < 0.15
+
+
+def test_minibatch_advi():
+    """Minibatch ADVI recovers the full-data posterior (baseline config #3:
+    logistic-regression-style minibatched VI)."""
+    np.random.seed(7)
+    N = 2000
+    data = (np.random.randn(N) + 1.5).astype(np.float32)
+    mb = pm.Minibatch(data, batch_size=100)
+    with pm.Model() as model:
+        mu = pm.Normal("mu", 0.0, 10.0)
+        pm.Normal("obs", mu=mu, sigma=1.0, observed=mb, total_size=N)
+    approx = v.fit(n=4000, method="advi", model=model, random_seed=1,
+                   progressbar=False,
+                   obj_optimizer=v.updates.adam(learning_rate=0.05),
+                   obj_n_mc=2)
+    post_sd = 1.0 / np.sqrt(1.0 / 100.0 + N)
+    assert abs(approx.mean[0] - data.mean()) < 0.1
+    # minibatch noise inflates the sd estimate slightly; just sanity-band it
+    assert 0.3 * post_sd < approx.std[0] < 5 * post_sd
+
+
+def test_flow_formula():
+    from pymc3_tpu.variational.flows import Formula
+    f = Formula("planar*2-radial-loc")
+    flows = f.build(3)
+    assert len(flows) == 4
+    with pytest.raises(ValueError):
+        Formula("bogus")
+
+
+def test_approx_sample_trace(conjugate):
+    model, post_mu, _ = conjugate
+    approx = v.fit(n=2000, method="advi", model=model, progressbar=False,
+                   obj_optimizer=v.updates.adam(learning_rate=0.05))
+    tr = approx.sample(400)
+    assert len(tr) == 400
+    assert "mu" in tr.varnames
+
+
+def test_fit_dispatch_raises(conjugate):
+    model, _, _ = conjugate
+    with pytest.raises(KeyError):
+        v.fit(10, method="bogus_method", model=model)
+
+
+def test_tracker_and_convergence(conjugate):
+    model, post_mu, _ = conjugate
+    tracker = v.callbacks.Tracker(mean=lambda approx, hist, i: approx.mean)
+    cb = v.callbacks.CheckParametersConvergence(every=200, tolerance=1e-8)
+    approx = v.fit(n=1000, method="advi", model=model, progressbar=False,
+                   callbacks=[tracker, cb],
+                   obj_optimizer=v.updates.adam(learning_rate=0.05))
+    assert len(tracker["mean"]) > 0
+
+
+def test_optimizers_converge_quadratic():
+    """Every update rule must descend a simple quadratic."""
+    import jax
+    import jax.numpy as jnp
+    from pymc3_tpu.variational import updates as u
+
+    target = jnp.asarray([1.0, -2.0, 3.0])
+
+    def loss(p):
+        return jnp.sum((p["x"] - target) ** 2)
+
+    for name, opt_f, lr in [
+        ("sgd", u.sgd, 0.1), ("momentum", u.momentum, 0.05),
+        ("nesterov_momentum", u.nesterov_momentum, 0.05),
+        ("adagrad", u.adagrad, 0.5), ("adagrad_window", u.adagrad_window, 0.2),
+        ("rmsprop", u.rmsprop, 0.05), ("adadelta", u.adadelta, 20.0),
+        ("adam", u.adam, 0.2), ("adamax", u.adamax, 0.2),
+    ]:
+        opt = opt_f(learning_rate=lr)
+        params = {"x": jnp.zeros(3)}
+        state = opt.init(params)
+        for _ in range(300):
+            g = jax.grad(loss)(params)
+            params, state = opt.update(g, state, params)
+        assert float(loss(params)) < 0.05, (name, params)
