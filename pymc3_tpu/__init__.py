@@ -21,17 +21,31 @@ if not logging.root.handlers:
         _log.addHandler(handler)
 
 from .config import floatX, intX, get_config, set_config
+from .config import _apply_matmul_precision as _ammp
+
+_ammp()
+del _ammp
 from . import node
 from . import math
 from .math import (
-    logsumexp, logit, invlogit, expand_packed_triangular, probit, invprobit,
+    logsumexp, logaddexp, logit, invlogit, expand_packed_triangular,
+    probit, invprobit,
 )
 from .model import (
     Model, modelcontext, Point, Deterministic, Potential, set_data,
-    ValueGradFunction, fn, fastfn, FreeRV, ObservedRV, TransformedRV,
+    ValueGradFunction, fn, fastfn, compilef, FreeRV, ObservedRV,
+    TransformedRV, Factor,
 )
-from .blocking import ArrayOrdering, DictToArrayBijection
-from .data import Data, Minibatch, get_data, GeneratorAdapter
+from .blocking import (
+    ArrayOrdering, DictToArrayBijection, DictToVarBijection,
+)
+from .data import Data, Minibatch, get_data, GeneratorAdapter, align_minibatches
+from . import jaxf
+from .jaxf import (
+    gradient, hessian, hessian_diag, jacobian, inputvars, cont_inputs,
+    smartfloatX, CallableTensor, join_nonshared_inputs,
+    make_shared_replacements, generator, tt_rng, set_tt_rng, take_along_axis,
+)
 from .distributions import *
 from .distributions import transforms
 from . import distributions
@@ -45,9 +59,15 @@ from .step_methods import (
     CategoricalGibbsMetropolis, DEMetropolis, DEMetropolisZ, Slice,
     EllipticalSlice, ElemwiseCategorical, CompoundStep,
 )
+from .step_methods.metropolis import (
+    NormalProposal, UniformProposal, CauchyProposal, LaplaceProposal,
+    PoissonProposal, MultivariateNormalProposal,
+)
 from . import backends
 from .backends.base import MultiTrace, merge_traces
-from .backends.ndarray import NDArray, save_trace, load_trace
+from .backends.ndarray import (
+    NDArray, save_trace, load_trace, point_list_to_multitrace,
+)
 from .backends.tracetab import trace_to_dataframe
 from .backends.report import SamplerReport, SamplerWarning, WarningType
 from .sampling import (
@@ -58,15 +78,30 @@ from .sampling import (
 from . import stats
 from .stats import (
     bfmi, compare, ess, geweke, hpd, loo, mcse, r2_score, rhat, summary, waic,
+    effective_n, gelman_rubin, map_args,
 )
-from .tuning import find_MAP, find_hessian
+from .tuning import (
+    find_MAP, find_hessian, guess_scaling, trace_cov,
+)
 from . import parallel
 
 from . import variational
 from .variational import (
     ADVI, ASVGD, NFVI, SVGD, FullRankADVI, Empirical, FullRank, MeanField,
-    NormalizingFlow, KLqp, fit, sample_approx,
+    NormalizingFlow, KLqp, fit, sample_approx, Inference, ImplicitGradient,
+    Approximation, Group,
 )
+from .variational import (
+    approximations, callbacks, flows, inference, operators, opvi,
+    test_functions, updates,
+)
+from .variational.stein import Stein
+from .variational.updates import (
+    sgd, momentum, nesterov_momentum, adagrad, adagrad_window, rmsprop,
+    adadelta, adam, adamax, norm_constraint, total_norm_constraint,
+    apply_momentum, apply_nesterov_momentum,
+)
+from .glm import families
 from .smc import sample_smc, SMC
 
 from . import gp
@@ -80,3 +115,19 @@ from .plots import (
     densityplot, pairplot, compareplot, plot_posterior_predictive_glm,
 )
 from .model_graph import model_to_graphviz
+
+
+# compat shim: the reference leaks `theano.tensor.constant` into pm.* via
+# star imports (sampling.py imports it as theano_constant); here a constant
+# is just a wrapped concrete array node.
+from .node import as_node as theano_constant  # noqa: E402
+
+
+def test(*args, **kwargs):
+    """Run the test suite (cf. ``pymc3/__init__.py:50`` ``from .tests import
+    test``) — delegates to pytest on the installed package's tests."""
+    import os
+    import pytest
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return pytest.main([os.path.join(here, "tests"), *args])

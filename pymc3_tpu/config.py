@@ -38,9 +38,22 @@ class Config:
     floatX: str = os.environ.get("PYMC3_TPU_FLOATX", "float32")
     intX: str = "int32"
     compute_test_value: str = "raise"
+    # TPU MXU matmuls default to bfloat16 inputs; for MCMC/GP linear algebra
+    # that is catastrophic (indefinite covariances, divergent trajectories).
+    # 'highest' = full-f32 accumulation via multi-pass MXU. Hot matmuls in a
+    # PPL are small, so the cost is negligible; override for large-matmul VI.
+    matmul_precision: str = os.environ.get(
+        "PYMC3_TPU_MATMUL_PRECISION", "highest")
 
 
 _config = Config()
+
+
+def _apply_matmul_precision():
+    import jax
+
+    jax.config.update("jax_default_matmul_precision",
+                      _config.matmul_precision)
 
 
 def get_config() -> Config:
@@ -60,6 +73,7 @@ def set_config(**kwargs: Any) -> Config:
         _config.intX = "int64"
     elif _config.floatX == "float32":
         _config.intX = "int32"
+    _apply_matmul_precision()
     return _config
 
 

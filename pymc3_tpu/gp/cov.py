@@ -253,9 +253,20 @@ class Stationary(Covariance):
     def _sqdist(X, Xs, ls):
         X = jnp.asarray(X, floatX()) / ls
         Xs = X if Xs is None else jnp.asarray(Xs, floatX()) / ls
-        X2 = jnp.sum(X ** 2, axis=-1)
-        Xs2 = jnp.sum(Xs ** 2, axis=-1)
-        d2 = X2[:, None] + Xs2[None, :] - 2 * X @ Xs.T
+        # Mean-centering is distance-invariant and shrinks the magnitudes
+        # entering either formula, which matters in float32 (TPU default).
+        c = jnp.mean(X, axis=0)
+        X = X - c
+        Xs = Xs - c
+        if X.shape[-1] <= 32:
+            # Low-dim inputs (the usual GP case): exact pairwise-difference
+            # form. The x²+x'²-2xx' matmul trick cancels catastrophically in
+            # float32 (O(1e-4) error on nearby points → indefinite K).
+            d2 = jnp.sum((X[:, None, :] - Xs[None, :, :]) ** 2, axis=-1)
+        else:
+            X2 = jnp.sum(X ** 2, axis=-1)
+            Xs2 = jnp.sum(Xs ** 2, axis=-1)
+            d2 = X2[:, None] + Xs2[None, :] - 2 * X @ Xs.T
         return jnp.clip(d2, 0.0, jnp.inf)
 
     def square_dist(self, X, Xs=None):

@@ -23,7 +23,10 @@ import jax
 import jax.numpy as jnp
 
 from .config import floatX, get_config
-from .node import Node, NamedNode, OpNode, ConstantNode, as_node, evaluate, _ev
+from .node import (
+    Node, NamedNode, OpNode, ConstantNode, as_node, evaluate, _ev,
+    apply as node_apply,
+)
 from .blocking import ArrayOrdering, DictToArrayBijection
 from .exceptions import ImputationWarning, SamplingError
 from .memoize import WithMemoization
@@ -642,6 +645,62 @@ class Model(WithMemoization, metaclass=ContextMeta):
             return total
         return logp
 
+    # -- symbolic logp nodes (cf. model.py:897-938) --------------------------
+    def _logp_node(self, fn_from_env, name):
+        """Wrap an env -> scalar logp contraction as a graph Node whose
+        inputs are the free-RV NamedNodes, so ``pm.gradient(model.logpt)``
+        etc. trace through it like any other expression."""
+        rvs = list(self.free_RVs)
+
+        def run(*vals):
+            env = {rv.name: v for rv, v in zip(rvs, vals)}
+            for rv in rvs:
+                if rv.transform is not None:
+                    env[rv.orig_name] = rv.transform.backward(
+                        env[rv.name], env, None)
+            return fn_from_env(env)
+
+        out = node_apply(run, *rvs)
+        out.name = name
+        return out
+
+    @property
+    def logpt(self):
+        """Joint log-density node incl. transform jacobians (model.py:897)."""
+        return self._logp_node(
+            lambda env: self.logp_from_env(env, jacobian=True), "__logp")
+
+    @property
+    def logp_nojact(self):
+        """Joint logp node without jacobian terms (model.py:909)."""
+        return self._logp_node(
+            lambda env: self.logp_from_env(env, jacobian=False),
+            "__logp_nojac")
+
+    @property
+    def varlogpt(self):
+        """Free-RV (prior) logp node (model.py:929)."""
+        def contract(env):
+            memo = {}
+            total = jnp.asarray(0.0, dtype=floatX())
+            for rv in self.free_RVs:
+                total = total + rv.logp_elemwise_env(env, memo)
+            return total
+        return self._logp_node(contract, "__varlogp")
+
+    @property
+    def datalogpt(self):
+        """Observed + potential logp node (model.py:938)."""
+        def contract(env):
+            memo = {}
+            total = jnp.asarray(0.0, dtype=floatX())
+            for obs in self.observed_RVs:
+                total = total + obs.logp_elemwise_env(env, memo)
+            for pot in self.potentials:
+                total = total + jnp.sum(_ev(pot, env, memo))
+            return total
+        return self._logp_node(contract, "__datalogp")
+
     # -- host-side conveniences ---------------------------------------------
     def _point_to_env(self, point):
         env = {k: jnp.asarray(v) for k, v in point.items()}
@@ -958,6 +1017,9 @@ def fn(outs, model=None, *args, **kwargs):
 
 def fastfn(outs, model=None, *args, **kwargs):
     return modelcontext(model).fastfn(outs)
+
+
+compilef = fastfn  # cf. model.py:1360
 
 
 # ---------------------------------------------------------------------------

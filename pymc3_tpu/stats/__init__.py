@@ -20,10 +20,25 @@ __all__ = [
     "bfmi", "compare", "ess", "geweke", "hpd", "loo", "mcse", "r2_score",
     "rhat", "summary", "waic", "rhat_device", "ess_device",
     # deprecated aliases kept for parity (stats/__init__.py:56-80)
-    "effective_n", "gelman_rubin",
+    "effective_n", "gelman_rubin", "map_args",
 ]
 
 from .device import rhat_device, ess_device  # noqa: E402
+
+
+def map_args(func):
+    """Rename deprecated ``varnames`` kwarg (cf. ``stats/__init__.py:26``)."""
+    import functools
+
+    @functools.wraps(func)
+    def wrapped(*args, **kwargs):
+        if "varnames" in kwargs and "var_names" not in kwargs:
+            warnings.warn(
+                "Keyword argument `varnames` renamed to `var_names`",
+                DeprecationWarning)
+            kwargs["var_names"] = kwargs.pop("varnames")
+        return func(*args, **kwargs)
+    return wrapped
 
 
 # ---------------------------------------------------------------------------

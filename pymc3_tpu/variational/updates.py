@@ -22,7 +22,8 @@ from ..config import floatX
 __all__ = [
     "sgd", "momentum", "nesterov_momentum", "adagrad", "adagrad_window",
     "rmsprop", "adadelta", "adam", "adamax", "norm_constraint",
-    "total_norm_constraint", "Optimizer",
+    "total_norm_constraint", "Optimizer", "apply_momentum",
+    "apply_nesterov_momentum",
 ]
 
 
@@ -107,6 +108,28 @@ def nesterov_momentum(learning_rate=1e-3, momentum=0.9):
         return p_new, v_new
     return Optimizer("nesterov_momentum", init, update, learning_rate=lr,
                      momentum=mom)
+
+
+def apply_momentum(opt_or_lr=None, momentum_=0.9, **kwargs):
+    """Wrap plain-SGD updates with momentum (cf. ``updates.py:229``
+    ``apply_momentum(updates, params, momentum)``). In the functional build
+    this simply returns a momentum optimizer at the given rate."""
+    lr = kwargs.pop("learning_rate", None)
+    if lr is None and not isinstance(opt_or_lr, Optimizer):
+        lr = opt_or_lr if opt_or_lr is not None else 1e-3
+    elif isinstance(opt_or_lr, Optimizer):
+        lr = opt_or_lr.hyper.get("learning_rate", 1e-3)
+    return momentum(learning_rate=lr, momentum=momentum_)
+
+
+def apply_nesterov_momentum(opt_or_lr=None, momentum_=0.9, **kwargs):
+    """Nesterov variant of :func:`apply_momentum` (cf. ``updates.py:345``)."""
+    lr = kwargs.pop("learning_rate", None)
+    if lr is None and not isinstance(opt_or_lr, Optimizer):
+        lr = opt_or_lr if opt_or_lr is not None else 1e-3
+    elif isinstance(opt_or_lr, Optimizer):
+        lr = opt_or_lr.hyper.get("learning_rate", 1e-3)
+    return nesterov_momentum(learning_rate=lr, momentum=momentum_)
 
 
 @_curried
