@@ -1,12 +1,23 @@
 #!/usr/bin/env python
 """Benchmark of record: NUTS effective samples/sec/chip on the radon
 hierarchical model (cf. BASELINE.md; reference harness
-``benchmarks/benchmarks/benchmarks.py:25-45,160-169`` — the
-``glm_hierarchical`` model with county varying intercept+slope).
+``benchmarks/benchmarks/benchmarks.py:25-45,160-186`` — the
+``glm_hierarchical`` model with county varying intercept+slope,
+metric = ESS(mu_a)/second, sampling wall time only).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Runs on whatever JAX backend the environment provides (TPU under axon;
-true CPU when PYTHONPATH strips the axon site).
+
+Configuration is TPU-native: chains are a vmap batch axis (hundreds per
+chip), mass-matrix adaptation is pooled across chains with an exact
+cross-chain Welford ``psum`` (``quadpotential.py:welford_merge_psum``), and
+draws stream device->host in fixed blocks so HBM stays bounded.
+
+``vs_baseline``: the reference (Theano, CPU) cannot run in this image, so
+the documented stand-in baseline is THIS framework on the true-CPU backend
+with the reference benchmark's own configuration (4 chains / 10k draws,
+matching ``benchmarks.py:160-169`` run on 4 cores). Generate it once with
+``python scripts/bench_baseline_cpu.py`` (writes BASELINE_CPU.json);
+vs_baseline = TPU ESS/s divided by that CPU ESS/s.
 """
 import json
 import os
@@ -41,6 +52,17 @@ def build_model(pm):
     return model
 
 
+def run_config(pm, model, draws, tune, chains, target_accept, pooled, seed):
+    axis_name = "chains_local" if pooled else None
+    t0 = time.time()
+    trace = pm.sample(draws=draws, tune=tune, chains=chains, model=model,
+                      progressbar=False, random_seed=seed,
+                      target_accept=target_accept, axis_name=axis_name,
+                      compute_convergence_checks=False)
+    wall = time.time() - t0
+    return trace, wall
+
+
 def main():
     import pymc3_tpu as pm
     from pymc3_tpu.config import enable_compilation_cache
@@ -48,39 +70,54 @@ def main():
     enable_compilation_cache("bench")
 
     draws = int(os.environ.get("BENCH_DRAWS", 2000))
-    tune = int(os.environ.get("BENCH_TUNE", 500))
-    chains = int(os.environ.get("BENCH_CHAINS", 8))
+    tune = int(os.environ.get("BENCH_TUNE", 1000))
+    chains = int(os.environ.get("BENCH_CHAINS", 512))
+    target_accept = float(os.environ.get("BENCH_TARGET_ACCEPT", 0.9))
+    pooled = os.environ.get("BENCH_POOLED", "1") != "0"
 
     model = build_model(pm)
 
-    def run(seed):
-        t0 = time.time()
-        trace = pm.sample(draws=draws, tune=tune, chains=chains, model=model,
-                          progressbar=False, random_seed=seed,
-                          compute_convergence_checks=False)
-        wall = time.time() - t0
-        return trace, wall
-
     # first call pays compile; second measures steady-state throughput
-    run(1)
-    trace, wall = run(2)
+    run_config(pm, model, draws, tune, chains, target_accept, pooled, seed=1)
+    trace, wall = run_config(pm, model, draws, tune, chains, target_accept,
+                             pooled, seed=2)
 
-    ess = pm.ess(trace, var_names=["mu_a"])["mu_a"]
-    ess_per_sec = float(np.asarray(ess)) / wall
+    ess = float(np.asarray(pm.ess(trace, var_names=["mu_a"])["mu_a"]))
+    ess_per_sec = ess / wall
     rhat = float(np.asarray(pm.rhat(trace, var_names=["mu_a"])["mu_a"]))
+    n_div = int(np.sum(np.asarray(trace.get_sampler_stats("diverging"))))
+    div_frac = n_div / float(draws * chains)
 
-    # No published reference numbers exist (BASELINE.md: "unpublished" and
-    # theano is unavailable in this image), so vs_baseline is null.
+    vs_baseline = None
+    baseline_detail = None
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BASELINE_CPU.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)
+        if base.get("ess_per_sec"):
+            vs_baseline = round(ess_per_sec / float(base["ess_per_sec"]), 1)
+            baseline_detail = {
+                "cpu_ess_per_sec": base["ess_per_sec"],
+                "cpu_config": base.get("config"),
+                "note": "stand-in: this framework on true-CPU backend at the "
+                        "reference asv config (Theano reference unavailable "
+                        "in this image)"}
+
     out = {
         "metric": "radon_nuts_ess_per_sec_per_chip",
         "value": round(ess_per_sec, 2),
         "unit": "ess/s",
-        "vs_baseline": None,
+        "vs_baseline": vs_baseline,
         "detail": {
             "draws": draws, "tune": tune, "chains": chains,
-            "wall_s": round(wall, 2), "ess_mu_a": round(float(ess), 1),
+            "target_accept": target_accept, "pooled_adaptation": pooled,
+            "wall_s": round(wall, 2), "ess_mu_a": round(ess, 1),
             "rhat_mu_a": round(rhat, 4),
+            "divergences": n_div,
+            "divergence_frac": round(div_frac, 5),
             "backend": jax.default_backend(),
+            "baseline": baseline_detail,
         },
     }
     print(json.dumps(out))

@@ -22,8 +22,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_chain_fn", "initialize_distributed",
-           "CHAIN_AXIS", "LOCAL_CHAIN_AXIS"]
+__all__ = ["make_mesh", "shard_chain_fn", "shard_block_fn",
+           "initialize_distributed", "CHAIN_AXIS", "LOCAL_CHAIN_AXIS"]
 
 CHAIN_AXIS = "chains"           # mesh axis: chains sharded across devices
 LOCAL_CHAIN_AXIS = "chains_local"  # vmap axis: chains within one device
@@ -79,6 +79,46 @@ def shard_chain_fn(chain_fn: Callable, axis_name: Optional[str] = None,
                 f"chains ({n}) must be a multiple of the device count "
                 f"({n_dev}); pad the chain count.")
         return sharded(keys, q0s)
+
+    return run
+
+
+def shard_block_fn(chain_block: Callable, devices: Optional[Sequence] = None,
+                   mesh: Optional[Mesh] = None) -> Callable:
+    """Lift a per-chain draw-block function to a sharded multi-chain program.
+
+    ``chain_block(carry, idxs) -> (carry, outputs)`` advances ONE chain by
+    ``len(idxs)`` draws (a ``lax.scan`` block); ``carry`` is the chain's
+    kernel state pytree. The lifted function shards the leading (chain) axis
+    of every carry/output leaf over the mesh and vmaps the device-local
+    chains with the named axis ``LOCAL_CHAIN_AXIS``, so kernels can ``psum``
+    over ``(LOCAL_CHAIN_AXIS, <mesh axis>)`` for exact pooled cross-chain
+    warmup statistics. The draw-index vector ``idxs`` is replicated.
+
+    This is the streaming (chunked-scan) counterpart of
+    :func:`shard_chain_fn`: the driver calls it once per block, keeping HBM
+    bounded (SURVEY §5 "Distributed communication backend").
+    """
+    if mesh is None:
+        mesh = make_mesh(devices)
+    mesh_axis = mesh.axis_names[0]
+    n_dev = int(np.prod(mesh.devices.shape))
+
+    local = jax.vmap(chain_block, in_axes=(0, None), out_axes=(0, 0),
+                     axis_name=LOCAL_CHAIN_AXIS)
+
+    sharded = jax.shard_map(
+        local, mesh=mesh, in_specs=(P(mesh_axis), P()),
+        out_specs=(P(mesh_axis), P(mesh_axis)), check_vma=False)
+
+    @jax.jit
+    def run(carry, idxs):
+        n = jax.tree_util.tree_leaves(carry)[0].shape[0]
+        if n % n_dev != 0:
+            raise ValueError(
+                f"chains ({n}) must be a multiple of the device count "
+                f"({n_dev}); pad the chain count.")
+        return sharded(carry, idxs)
 
     return run
 

@@ -202,15 +202,28 @@ def sample(draws=500, step=None, init="auto", n_init=200000, start=None,
     _check_bad_init(model, chain_starts[0])
 
     # -- run the fused sampler ----------------------------------------------
+    keep_from = tune if discard_tuned_samples else 0
     t_start = time.time()
     result = _device_sample(
         model=model, step=step, q0=q0, draws=draws, tune=tune,
         random_seed=random_seed, progressbar=progressbar,
-        axis_name=axis_name, devices=devices, callback=callback)
+        axis_name=axis_name, devices=devices, callback=callback,
+        block_size=kwargs.pop("block_size", None), keep_from=keep_from)
     t_sampling = time.time() - t_start
 
+    if result["interrupted"]:
+        n_kept = max(0, result["completed"] - keep_from)
+        if n_kept == 0:
+            raise KeyboardInterrupt(
+                "Sampling interrupted before any post-warmup draws "
+                "completed.")
+        _log.warning(
+            f"Sampling interrupted: returning partial trace with {n_kept} "
+            f"of {draws + tune - keep_from} draws per chain "
+            f"(cf. the reference's partial-trace semantics, "
+            f"sampling.py:1409-1443).")
+
     # -- build traces --------------------------------------------------------
-    keep_from = tune if discard_tuned_samples else 0
     traces = _flush_to_traces(model, step, result, trace, chain_idx, chains,
                               keep_from)
     mtrace = MultiTrace(traces)
@@ -285,103 +298,215 @@ def _check_bad_init(model, start):
             f"{details}")
 
 
-def _device_sample(model, step, q0, draws, tune, random_seed, progressbar,
-                   axis_name=None, devices=None, callback=None):
-    """Run warmup+draws as one jitted scan, vmapped over chains.
+def _auto_block_size(total, chains, out_width):
+    """Pick a draw-block length so one block's device output buffer stays
+    within a fixed element budget — the streaming replacement for the
+    reference's per-draw pipe flush (``parallel_sampling.py:403-438``):
+    HBM holds only kernel state + one block of decoded draws, never the
+    full sample history."""
+    budget = int(5e7)  # elements per block across all chains (~200MB fp32)
+    blk = max(16, budget // max(1, chains * max(1, out_width)))
+    blk = min(total, blk)
+    # equalize block sizes so the (single) compiled program pads < n_blocks
+    n_blocks = -(-total // blk)
+    return -(-total // n_blocks)
 
-    Returns dict with ``q`` (chains, total, dim) and ``stats`` (list per
-    sampler of dicts of (chains, total) arrays).
+
+class _BlockProgress:
+    """Minimal per-block progress line (draws done, divergences)."""
+
+    def __init__(self, total, chains, enabled):
+        self.total = total
+        self.chains = chains
+        self.enabled = enabled
+        self.divergences = 0
+        self.t0 = time.time()
+
+    def update(self, done):
+        if not self.enabled:
+            return
+        import sys
+        elapsed = time.time() - self.t0
+        rate = done * self.chains / max(elapsed, 1e-9)
+        msg = (f"\rSampling {self.chains} chains: {done}/{self.total} draws "
+               f"({100.0 * done / self.total:.0f}%) "
+               f"[{rate:,.0f} draws/s, {self.divergences} divergences]")
+        sys.stderr.write(msg)
+        if done >= self.total:
+            sys.stderr.write("\n")
+        sys.stderr.flush()
+
+
+def _device_sample(model, step, q0, draws, tune, random_seed, progressbar,
+                   axis_name=None, devices=None, callback=None,
+                   block_size=None, keep_from=0):
+    """Run warmup+draws as a sequence of fixed-size jitted scan blocks,
+    vmapped (and optionally mesh-sharded) over chains.
+
+    Memory model: the per-draw q history never materializes — each scan
+    step decodes q into constrained variable values on device, and each
+    block's (chains, block, ...) output is flushed to host while the next
+    block runs (async dispatch double-buffering). A ``KeyboardInterrupt``
+    between blocks yields everything flushed so far (cf. the reference's
+    partial-trace semantics, ``pymc3/sampling.py:1409-1443``).
+
+    Returns dict with ``values`` {name: (chains, n_kept, ...)}, ``stats``
+    (list per sampler of {name: (chains, n_kept)}), ``final_state``,
+    ``completed`` (total steps finished) and ``interrupted``.
     """
     chains, dim = q0.shape
     total = draws + tune
     key = jax.random.PRNGKey(random_seed)
     chain_keys = jax.random.split(key, chains)
 
+    unobserved = model.unobserved_RVs
+    varnames = [v.name for v in unobserved]
+    from .node import _ev
+
+    def decode(q):
+        env = model._env_from_q(q)
+        memo = {}
+        return {v.name: jnp.asarray(_ev(v, env, memo)) for v in unobserved}
+
+    out_width = int(sum(
+        max(1, int(np.prod(np.shape(v.test_value)))) for v in unobserved))
+    if block_size is None:
+        block_size = _auto_block_size(total, chains, out_width)
+    block = int(min(total, max(1, block_size)))
+    n_blocks = -(-total // block)
+
     population_based = getattr(step, "population_based", False)
+    tune_arr = jnp.asarray(tune, jnp.int32)
 
     if population_based:
         # population methods step the whole (chains, dim) block at once
-        state0 = step.kernel_init(jnp.asarray(q0))
+        init_carry = (key, jnp.asarray(q0), step.kernel_init(jnp.asarray(q0)))
 
-        def one_step(carry, idx):
-            k, Q, st = carry
-            k, sub = jax.random.split(k)
-            tctx = TuneContext(idx < tune, idx, tune)
-            Q, st, stats = step.population_kernel_step(sub, Q, st, tctx)
-            return (k, Q, st), (Q, stats)
+        def run_block(carry, idxs):
+            def one_step(c, idx):
+                k, Q, st = c
+                k, sub = jax.random.split(k)
+                tctx = TuneContext(idx < tune_arr, idx, tune)
+                Q, st, stats = step.population_kernel_step(sub, Q, st, tctx)
+                return (k, Q, st), (jax.vmap(decode)(Q), stats)
+            return jax.lax.scan(one_step, carry, idxs)
 
-        @jax.jit
-        def run(key, Q0):
-            (_, _, final_state), (qs, stats) = jax.lax.scan(
-                one_step, (key, jnp.asarray(Q0), state0),
-                jnp.arange(total, dtype=jnp.int32))
-            return qs, stats, final_state
-
-        qs, stats, final_state = run(key, q0)
-        qs = np.moveaxis(np.asarray(qs), 0, 1)  # (chains, total, dim)
-        stats_list = [stats] if not isinstance(stats, list) else stats
-        host_stats = []
-        for s in stats_list:
-            host_stats.append({k: np.moveaxis(np.asarray(v), 0, 1)
-                               for k, v in s.items()})
-        return {"q": qs, "stats": host_stats, "final_state": final_state}
-
-    def chain_fn(ckey, cq0):
-        state0 = step.kernel_init(cq0)
-
-        def one_step(carry, idx):
-            k, q, st = carry
-            k, sub = jax.random.split(k)
-            tctx = TuneContext(idx < tune, idx, tune)
-            q, st, stats = step.kernel_step(sub, q, st, tctx)
-            return (k, q, st), (q, stats)
-
-        (_, _, final_state), (qs, stats) = jax.lax.scan(
-            one_step, (ckey, cq0, state0),
-            jnp.arange(total, dtype=jnp.int32))
-        return qs, stats, final_state
-
-    if axis_name is not None or devices is not None:
-        from .parallel import shard_chain_fn
-        run = shard_chain_fn(chain_fn, axis_name=axis_name, devices=devices)
+        run_block = jax.jit(run_block)
+        time_axis = 0  # outputs are (block, chains, ...)
     else:
-        run = jax.jit(jax.vmap(chain_fn))
+        from .parallel import LOCAL_CHAIN_AXIS
 
-    qs, stats, final_state = run(chain_keys, jnp.asarray(q0))
-    qs = np.asarray(qs)  # (chains, total, dim)
+        def chain_block(carry, idxs):
+            def one_step(c, idx):
+                k, q, st = c
+                k, sub = jax.random.split(k)
+                tctx = TuneContext(idx < tune_arr, idx, tune)
+                q, st, stats = step.kernel_step(sub, q, st, tctx)
+                return (k, q, st), (decode(q), stats)
+            return jax.lax.scan(one_step, carry, idxs)
 
-    if isinstance(step, CompoundStep):
-        stats_list = stats
-    else:
-        stats_list = [stats] if step.generates_stats else []
-    host_stats = []
-    for s in stats_list:
-        host_stats.append({k: np.asarray(v) for k, v in s.items()})
-    return {"q": qs, "stats": host_stats, "final_state": final_state}
+        if (axis_name not in (None, LOCAL_CHAIN_AXIS)) or devices is not None:
+            from .parallel import shard_block_fn
+            run_block = shard_block_fn(chain_block, devices=devices)
+            init_state = jax.vmap(step.kernel_init)(jnp.asarray(q0))
+        else:
+            run_block = jax.jit(jax.vmap(
+                chain_block, in_axes=(0, None), out_axes=(0, 0),
+                axis_name=LOCAL_CHAIN_AXIS))
+            init_state = jax.jit(jax.vmap(step.kernel_init))(jnp.asarray(q0))
+        init_carry = (chain_keys, jnp.asarray(q0), init_state)
+        time_axis = 1  # outputs are (chains, block, ...)
+
+    # -- host streaming loop with async double-buffering ---------------------
+    host_vals = {name: [] for name in varnames}
+    host_stats = None
+    completed = 0
+    interrupted = False
+    progress = _BlockProgress(total, chains, progressbar)
+    carry = init_carry
+    pending = None  # (start_idx, device vals, device stats)
+
+    def _drain(start, vals, stats):
+        """Move one block's kept slice to host (blocks until ready)."""
+        nonlocal host_stats, completed
+        lo = max(keep_from, start)
+        hi = min(start + block, total)
+        if hi > lo:
+            a, b = lo - start, hi - start
+            sl = (slice(None), slice(a, b)) if time_axis == 1 \
+                else (slice(a, b),)
+            for name in varnames:
+                arr = np.asarray(vals[name][sl])
+                if time_axis == 0:
+                    arr = np.moveaxis(arr, 0, 1)
+                host_vals[name].append(arr)
+            if isinstance(step, CompoundStep):
+                stats_list = stats
+            else:
+                stats_list = [stats] if step.generates_stats else []
+            if host_stats is None:
+                host_stats = [defaultdict(list) for _ in stats_list]
+            for acc, s in zip(host_stats, stats_list):
+                for k, v in s.items():
+                    arr = np.asarray(v[sl])
+                    if time_axis == 0:
+                        arr = np.moveaxis(arr, 0, 1)
+                    acc[k].append(arr)
+                    if k == "diverging":
+                        progress.divergences += int(arr.sum())
+        else:
+            # block entirely inside discarded warmup: just sync
+            jax.block_until_ready(stats if stats else vals)
+        completed = min(start + block, total)
+        progress.update(completed)
+
+    try:
+        for b in range(n_blocks):
+            start = b * block
+            idxs = jnp.arange(start, start + block, dtype=jnp.int32)
+            carry, (vals, stats) = run_block(carry, idxs)  # async dispatch
+            if pending is not None:
+                _drain(*pending)
+            pending = (start, vals, stats)
+            if callback is not None:
+                from types import SimpleNamespace
+                callback(trace=None, draw=SimpleNamespace(
+                    chain=None, is_last=(b == n_blocks - 1),
+                    draw_idx=min(start + block, total),
+                    tuning=start + block <= tune, stats=None, point=None))
+        if pending is not None:
+            _drain(*pending)
+            pending = None
+    except KeyboardInterrupt:
+        interrupted = True
+        if pending is not None:
+            try:
+                _drain(*pending)
+            except KeyboardInterrupt:
+                pass
+
+    def _cat(chunks):
+        if not chunks:
+            return None
+        return np.concatenate(chunks, axis=1)
+
+    values = {k: _cat(v) for k, v in host_vals.items()}
+    stats_out = []
+    for acc in (host_stats or []):
+        stats_out.append({k: _cat(v) for k, v in acc.items()})
+    return {"values": values, "stats": stats_out,
+            "final_state": carry[2], "completed": completed,
+            "interrupted": interrupted}
 
 
 def _flush_to_traces(model, step, result, trace_arg, chain_idx, chains,
                      keep_from):
-    """Decode q-history into variable values and bulk-record per chain."""
-    qs = result["q"][:, keep_from:]  # (chains, kept, dim)
-    nkept = qs.shape[1]
-
-    # batch-decode unobserved vars from flat vectors
+    """Record streamed (chains, n_kept, ...) value blocks into per-chain
+    trace backends."""
     unobserved = model.unobserved_RVs
-    varnames = [v.name for v in unobserved]
-
-    @jax.jit
-    def decode(q):
-        env = model._env_from_q(q)
-        memo = {}
-        from .node import _ev
-        return [jnp.asarray(_ev(v, env, memo)) for v in unobserved]
-
-    flat = jnp.asarray(qs.reshape(-1, qs.shape[-1]))
-    vals = jax.vmap(decode)(flat)
-    vals = [np.asarray(v).reshape((chains, nkept) + v.shape[1:])
-            for v in vals]
-    var_values = dict(zip(varnames, vals))
+    var_values = result["values"]
+    any_val = next((v for v in var_values.values() if v is not None), None)
+    nkept = 0 if any_val is None else any_val.shape[1]
 
     stats_dtypes = step.stats_dtypes if step.generates_stats else None
     traces = []
@@ -399,16 +524,18 @@ def _flush_to_traces(model, step, result, trace_arg, chain_idx, chains,
         else:
             strace = NDArray(model=model, vars=unobserved)
         strace.setup(nkept, chain_idx + ci, stats_dtypes)
-        chain_vals = {k: v[ci] for k, v in var_values.items()}
-        stats_batch = None
-        if stats_dtypes:
-            stats_batch = []
-            for s_i, dtypes in enumerate(step.stats_dtypes):
-                src = result["stats"][s_i]
-                stats_batch.append({
-                    k: np.asarray(src[k][ci, keep_from:]).astype(dt)
-                    for k, dt in dtypes.items() if k in src})
-        strace.record_batch(chain_vals, nkept, stats_batch)
+        if nkept:
+            chain_vals = {k: v[ci] for k, v in var_values.items()}
+            stats_batch = None
+            if stats_dtypes:
+                stats_batch = []
+                for s_i, dtypes in enumerate(step.stats_dtypes):
+                    src = result["stats"][s_i]
+                    stats_batch.append({
+                        k: np.asarray(src[k][ci]).astype(dt)
+                        for k, dt in dtypes.items()
+                        if src.get(k) is not None})
+            strace.record_batch(chain_vals, nkept, stats_batch)
         # warmup-state checkpoint (TPU extension, SURVEY §5)
         strace.warmup_state = _extract_warmup_state(result["final_state"], ci)
         strace.close()
