@@ -98,6 +98,11 @@ def enable_compilation_cache(tag: str = "") -> str:
                 sig = "nocpuinfo"
     except OSError:
         sig = "nocpuinfo"
+    # also key by jaxlib version: XLA target features (e.g.
+    # prefer-no-scatter) vary across builds on identical hosts, and a
+    # version-skewed AOT artifact loads with wrong codegen assumptions
+    import jaxlib
+    sig += "_" + getattr(jaxlib, "__version__", "unk").replace(".", "")
     backend = jax.default_backend()
     path = f"/tmp/pymc3_tpu_jax_cache_{backend}_{sig}"
     if tag:

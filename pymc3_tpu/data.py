@@ -152,14 +152,25 @@ class MinibatchNode(NamedNode):
     def total_size(self):
         return self.data.shape[0]
 
+    def indices(self, key):
+        """Row indices this minibatch selects under per-step key ``key``
+        (``None`` -> the deterministic leading rows used for test values).
+
+        AEVB encoders call this with the per-sample minibatch key so the
+        amortized posterior is computed from exactly the rows the model
+        logp sees (cf. reference local groups, ``opvi.py:507``)."""
+        bs = self.batch_size if isinstance(self.batch_size, int) \
+            else self.batch_size[0]
+        if key is None:
+            return jnp.arange(bs)
+        fkey = jax.random.fold_in(key, self._fold)
+        return jax.random.randint(fkey, (bs,), 0, self.data.shape[0])
+
     def _eval_default(self, env, memo):
-        bs = self.batch_size if isinstance(self.batch_size, int) else self.batch_size[0]
         data = jnp.asarray(self.data)
         if RNG_ENV_KEY in env:
-            key = jax.random.fold_in(env[RNG_ENV_KEY], self._fold)
-            idx = jax.random.randint(key, (bs,), 0, data.shape[0])
-            return jnp.take(data, idx, axis=0)
-        return data[:bs]
+            return jnp.take(data, self.indices(env[RNG_ENV_KEY]), axis=0)
+        return jnp.take(data, self.indices(None), axis=0)
 
 
 def Minibatch(data, batch_size=128, dtype=None, broadcastable=None,

@@ -357,7 +357,7 @@ class Categorical(Discrete):
             if np.ndim(p) > 1 else np.random.choice(
                 np.shape(p)[-1], p=np.asarray(p) / np.sum(p), size=size),
             p, dist_shape=self.shape, size=size,
-            broadcast_shape=np.shape(p)[:-1] or (1,))
+            broadcast_shape=np.shape(p)[:-1])
 
 
 class Constant(Discrete):

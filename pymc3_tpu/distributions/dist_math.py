@@ -224,18 +224,18 @@ def random_choice(p, size=None, rng=None):
     Host-side numpy version for forward sampling (cf. ``dist_math.py:321``).
     """
     rng = rng or np.random
-    p = np.asarray(p)
+    p = np.asarray(p, dtype=np.float64)
     k = p.shape[-1]
     if p.ndim > 1:
-        flat = p.reshape(-1, k)
-        n = flat.shape[0]
-        samples = np.array([rng.choice(k, p=flat[i] / flat[i].sum())
-                            for i in range(n)])
-        samples = samples.reshape(p.shape[:-1])
-        if size is not None:
-            samples = np.broadcast_to(samples, tuple(np.atleast_1d(size)) + samples.shape) \
-                if np.prod(size) != np.prod(samples.shape) else samples.reshape(size)
-        return samples
+        # batched probability rows: one independent draw per target position
+        # via inverse-CDF on uniforms (vectorized, no python loop per draw)
+        target = (tuple(np.atleast_1d(size)) if size is not None
+                  else p.shape[:-1])
+        pb = np.broadcast_to(p, target + (k,))
+        cdf = np.cumsum(pb, axis=-1)
+        cdf /= cdf[..., -1:]
+        u = rng.uniform(size=target + (1,))
+        return (u > cdf).sum(axis=-1)
     return rng.choice(k, p=p / p.sum(), size=size)
 
 
@@ -243,6 +243,6 @@ def clipped_beta_rvs(a, b, size=None, rng=None, dtype=None):
     """Beta draws clipped away from 0/1 at float ulp (cf. ``dist_math.py:553``)."""
     rng = rng or np.random
     dtype = dtype or floatX()
-    out = rng.beta(a, b, size=size).astype(dtype)
+    out = np.asarray(rng.beta(a, b, size=size), dtype=dtype)
     eps = np.finfo(dtype).eps
     return np.clip(out, eps, 1.0 - eps)

@@ -232,20 +232,18 @@ class Dirichlet(Continuous):
                      broadcast_conditions=False)
 
     def random(self, point=None, size=None):
+        """size + dist_shape draws via normalized gammas (handles batched
+        concentration uniformly; cf. reference ``Dirichlet.random``,
+        ``multivariate.py:522``)."""
         a, = draw_values([self.a], point=point, size=size)
-        return generate_samples(
-            lambda a, size: st.dirichlet.rvs(
-                np.asarray(a).ravel() if np.ndim(a) == 1 else a,
-                size=size) if np.ndim(a) == 1 else _batched_dirichlet(a, size),
-            a, dist_shape=self.shape, size=size)
-
-
-def _batched_dirichlet(a, size):
-    a = np.asarray(a)
-    g = np.random.standard_gamma(
-        a, size=(size if isinstance(size, tuple) else
-                 ((size,) if size else ())) + a.shape)
-    return g / g.sum(axis=-1, keepdims=True)
+        a = np.asarray(a)
+        shape = tuple(np.atleast_1d(self.shape).astype(int)) \
+            if np.size(self.shape) else a.shape
+        a_full = np.broadcast_to(a, shape)
+        size_t = (tuple(size) if isinstance(size, (tuple, list))
+                  else ((int(size),) if size is not None else ()))
+        g = np.random.standard_gamma(a_full, size=size_t + shape)
+        return g / g.sum(axis=-1, keepdims=True)
 
 
 class Multinomial(Discrete):
@@ -281,24 +279,26 @@ class Multinomial(Discrete):
                      broadcast_conditions=False)
 
     def random(self, point=None, size=None):
+        """size + dist_shape draws (cf. reference ``Multinomial.random``,
+        ``multivariate.py:702``)."""
         n, p = draw_values([self.n, self.p], point=point, size=size)
-
-        def _rvs(n, p, size):
-            n = np.asarray(n)
-            p = np.asarray(p)
-            if p.ndim == 1 and n.ndim == 0:
-                return np.random.multinomial(int(n), p, size=size)
-            # batched parameters
-            out_shape = (size if isinstance(size, tuple)
-                         else ((size,) if size else ())) + \
-                np.broadcast_shapes(p.shape, np.shape(n) + (p.shape[-1],))
-            flatp = np.broadcast_to(p, out_shape).reshape(-1, p.shape[-1])
-            flatn = np.broadcast_to(n, out_shape[:-1]).reshape(-1)
-            draws = np.stack([np.random.multinomial(int(ni), pi)
-                              for ni, pi in zip(flatn, flatp)])
-            return draws.reshape(out_shape)
-        return generate_samples(_rvs, n, p, dist_shape=self.shape, size=size,
-                                broadcast_shape=np.shape(p))
+        n = np.asarray(n)
+        p = np.asarray(p, dtype=np.float64)
+        shape = tuple(np.atleast_1d(self.shape).astype(int)) \
+            if np.size(self.shape) else p.shape
+        size_t = (tuple(size) if isinstance(size, (tuple, list))
+                  else ((int(size),) if size is not None else ()))
+        if p.ndim == 1 and n.ndim == 0 and shape == p.shape:
+            s = size_t + shape[:-1]
+            return np.random.multinomial(int(n), p / p.sum(),
+                                         size=s if s else None)
+        # batched parameters: one multinomial per leading position
+        out_shape = size_t + shape
+        flatp = np.broadcast_to(p, out_shape).reshape(-1, shape[-1])
+        flatn = np.broadcast_to(n, out_shape[:-1]).reshape(-1)
+        draws = np.stack([np.random.multinomial(int(ni), pi / pi.sum())
+                          for ni, pi in zip(flatn, flatp)])
+        return draws.reshape(out_shape)
 
 
 def posdef(matrix):

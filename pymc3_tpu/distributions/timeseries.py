@@ -61,12 +61,12 @@ class AR1(Continuous):
         def _sim(size):
             size_t = () if size is None else (size if isinstance(size, tuple)
                                               else (size,))
-            out = np.zeros(size_t[:-1] + (n,))
+            out = np.zeros(size_t + (n,))
             out[..., 0] = np.random.normal(
-                0, sigma_e / np.sqrt(1 - k ** 2), size=size_t[:-1] or None)
+                0, sigma_e / np.sqrt(1 - k ** 2), size=size_t or None)
             for t in range(1, n):
                 out[..., t] = k * out[..., t - 1] + np.random.normal(
-                    0, sigma_e, size=size_t[:-1] or None)
+                    0, sigma_e, size=size_t or None)
             return out
         return _sim(size)
 

@@ -31,6 +31,38 @@ def _rk4_step(func, y, t, dt, theta):
     return y + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
 
 
+# Dormand-Prince 4(5) tableau (the embedded pair behind RK45 / ode45 — the
+# TPU-native replacement for LSODA's adaptivity, cf. ``ode/ode.py:115``).
+_DP_C = np.array([0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0])
+_DP_A = np.zeros((7, 7))
+_DP_A[1, 0] = 1 / 5
+_DP_A[2, :2] = [3 / 40, 9 / 40]
+_DP_A[3, :3] = [44 / 45, -56 / 15, 32 / 9]
+_DP_A[4, :4] = [19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729]
+_DP_A[5, :5] = [9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176,
+                -5103 / 18656]
+_DP_A[6, :6] = [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84]
+_DP_B5 = np.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784,
+                   11 / 84, 0.0])
+_DP_B4 = np.array([5179 / 57600, 0.0, 7571 / 16695, 393 / 640,
+                   -92097 / 339200, 187 / 2100, 1 / 40])
+
+
+def _dopri5_step(f, y, t, dt, theta):
+    """One embedded DOPRI5 step: returns (y5, y5 - y4 error estimate)."""
+    ks = []
+    for i in range(7):
+        yi = y
+        for j in range(i):
+            aij = _DP_A[i, j]
+            if aij != 0.0:
+                yi = yi + dt * aij * ks[j]
+        ks.append(f(yi, t + _DP_C[i] * dt, theta))
+    y5 = y + dt * sum(b * k for b, k in zip(_DP_B5, ks) if b != 0.0)
+    y4 = y + dt * sum(b * k for b, k in zip(_DP_B4, ks) if b != 0.0)
+    return y5, y5 - y4
+
+
 class DifferentialEquation:
     """Specify an ODE solved on a fixed time grid (cf. ``ode/ode.py:27``).
 
@@ -50,13 +82,17 @@ class DifferentialEquation:
     """
 
     def __init__(self, func, times, n_states, n_theta, t0=0,
-                 n_substeps=4):
+                 n_substeps=4, method="rk45", rtol=None, atol=None,
+                 max_steps=None):
         if not callable(func):
             raise ValueError("Argument func must be callable.")
         if n_states < 1:
             raise ValueError("Argument n_states must be at least 1.")
         if n_theta <= 0:
             raise ValueError("Argument n_theta must be positive.")
+        if method not in ("rk45", "rk4"):
+            raise ValueError("method must be 'rk45' (adaptive) or 'rk4' "
+                             "(fixed grid)")
         self.func = func
         self.t0 = float(t0)
         self.times = np.asarray(times, dtype=np.float64)
@@ -68,9 +104,17 @@ class DifferentialEquation:
         self.n_theta = int(n_theta)
         self.n_times = len(self.times)
         self.n_substeps = int(n_substeps)
+        self.method = method
+        wide = floatX() == "float64"
+        self.rtol = float(rtol) if rtol is not None else \
+            (1e-8 if wide else 1e-4)
+        self.atol = float(atol) if atol is not None else \
+            (1e-8 if wide else 1e-6)
+        if max_steps is None:
+            max_steps = int(np.clip(16 * self.n_times, 256, 4096))
+        self.max_steps = int(max_steps)
 
-    def _solve(self, y0, theta):
-        """(n_times, n_states) solution, fully traceable."""
+    def _wrap_func(self):
         func = self.func
 
         def f(y, t, p):
@@ -79,6 +123,85 @@ class DifferentialEquation:
                 out = jnp.stack([jnp.asarray(o, floatX()).reshape(())
                                  for o in out])
             return jnp.asarray(out, floatX()).reshape(y.shape)
+        return f
+
+    def _solve_adaptive(self, y0, theta):
+        """(n_times, n_states) adaptive DOPRI5 solution with PI step-size
+        control.
+
+        The step loop is a *bounded* ``lax.scan`` of ``max_steps``
+        iterations with done-masking rather than a ``lax.while_loop`` —
+        scans are reverse-differentiable, so the whole posterior gradient
+        flows through the accepted steps natively (the reference instead
+        integrates a hand-built forward-sensitivity system through LSODA,
+        ``ode/ode.py:110-120`` / ``ode/utils.py:60``).
+        """
+        f = self._wrap_func()
+        y0 = jnp.asarray(y0, floatX()).reshape((self.n_states,))
+        theta = jnp.asarray(theta, floatX()).reshape((self.n_theta,))
+        times = jnp.asarray(self.times, floatX())
+        n_out = self.n_times
+        rtol = jnp.asarray(self.rtol, floatX())
+        atol = jnp.asarray(self.atol, floatX())
+        t_end = float(self.times[-1])
+
+        # initial step: a conservative fraction of the first segment
+        dt0 = jnp.asarray(
+            (self.times[0] - self.t0) / 8.0, floatX())
+
+        def body(state, _):
+            t, y, dt, out_idx, ys = state
+            done = out_idx >= n_out
+            t_target = times[jnp.minimum(out_idx, n_out - 1)]
+            remaining = t_target - t
+            h = jnp.minimum(dt, remaining)
+            h = jnp.maximum(h, jnp.asarray(1e-10, floatX()))
+
+            y_new, err = _dopri5_step(f, y, t, h, theta)
+            scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_new))
+            err_norm = jnp.sqrt(jnp.mean((err / scale) ** 2))
+            err_norm = jnp.where(jnp.isnan(err_norm), jnp.inf, err_norm)
+            # discretize-then-optimize: the accepted step-size sequence is
+            # treated as data — gradients flow through the state dynamics,
+            # not the controller (avoids NaN-poisoning through the
+            # rejected-step/inf-error branches)
+            err_norm = lax.stop_gradient(err_norm)
+            accept = err_norm <= 1.0
+
+            # I-controller with limiter (cf. Hairer-Norsett-Wanner II.4)
+            factor = jnp.clip(
+                0.9 * jnp.power(jnp.maximum(err_norm, 1e-10), -0.2),
+                0.2, 5.0)
+            dt_next = jnp.clip(h * factor, 1e-8, t_end - self.t0)
+
+            step_ok = accept & ~done
+            t_new = jnp.where(step_ok, t + h, t)
+            y_next = jnp.where(step_ok, y_new, y)
+            reached = step_ok & (t + h >= t_target - 1e-9)
+            write_idx = jnp.minimum(out_idx, n_out - 1)
+            ys = jnp.where(reached,
+                           ys.at[write_idx].set(y_new), ys)
+            out_next = out_idx + jnp.asarray(reached, out_idx.dtype)
+            dt_keep = jnp.where(done, dt, dt_next)
+            return (t_new, y_next, dt_keep, out_next, ys), None
+
+        ys0 = jnp.zeros((n_out, self.n_states), floatX())
+        state0 = (jnp.asarray(self.t0, floatX()), y0, dt0,
+                  jnp.asarray(0, jnp.int32), ys0)
+        (t_f, y_f, _, out_f, ys), _ = lax.scan(body, state0, None,
+                                               length=self.max_steps)
+        # if max_steps ran out before all outputs were written, poison the
+        # remaining rows with NaN so the logp is -inf rather than silently
+        # wrong (cf. `bound()` double-guard discipline)
+        incomplete = jnp.arange(n_out) >= out_f
+        ys = jnp.where(incomplete[:, None], jnp.nan, ys)
+        return ys
+
+    def _solve(self, y0, theta):
+        """(n_times, n_states) solution, fully traceable."""
+        if self.method == "rk45":
+            return self._solve_adaptive(y0, theta)
+        f = self._wrap_func()
 
         y0 = jnp.asarray(y0, floatX()).reshape((self.n_states,))
         theta = jnp.asarray(theta, floatX()).reshape((self.n_theta,))

@@ -40,14 +40,41 @@ def _sigma2rho(sigma):
 
 
 class MeanFieldGroup(Group):
-    """Fully-factorized Gaussian q (cf. ``approximations.py:39``)."""
+    """Fully-factorized Gaussian q (cf. ``approximations.py:39``).
+
+    With ``local=True`` this is the AEVB group (cf. reference
+    ``opvi.py:507,1180``): the variational parameters are user-provided —
+    either trainable per-row arrays (``params=dict(mu=..., rho=...)``, the
+    reference's shared-variable pattern) or an amortizing encoder
+    (``params=dict(encoder=fn, aux=pytree)`` with
+    ``fn(aux, mb_key) -> (mu, rho)``) that sees the same per-sample
+    minibatch key as the model's Minibatch nodes. Local-group logq is
+    scaled by the variables' ``total_size`` scaling, mirroring
+    ``symbolic_logq`` in the reference.
+    """
 
     short_name = "mean_field"
 
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._encoder = None
+        if self.local and callable((self.user_params or {}).get("encoder")):
+            self._encoder = self.user_params["encoder"]
+
     def init_params(self, start=None):
+        if self._encoder is not None:
+            aux = self.user_params.get("aux", {})
+            return {"aux": jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, floatX()), aux)}
         if self.user_params is not None:
-            mu = np.asarray(self.user_params["mu"], dtype=floatX())
-            rho = np.asarray(self.user_params["rho"], dtype=floatX())
+            mu = np.asarray(self.user_params["mu"],
+                            dtype=floatX()).ravel()
+            rho = np.asarray(self.user_params["rho"],
+                             dtype=floatX()).ravel()
+            if mu.size != self.ndim or rho.size != self.ndim:
+                raise ValueError(
+                    f"user params must have {self.ndim} elements, got "
+                    f"mu:{mu.size} rho:{rho.size}")
         else:
             if start is None:
                 start = self.model.test_point
@@ -58,34 +85,80 @@ class MeanFieldGroup(Group):
             rho = np.full(self.ndim, _sigma2rho(1.0), dtype=floatX())
         return {"mu": jnp.asarray(mu), "rho": jnp.asarray(rho)}
 
-    def sample_q(self, key, params, size):
+    def _elem_logq(self, sigma, eps):
+        return -0.5 * (_LOG2PI + 2 * jnp.log(sigma) + eps ** 2)
+
+    def _reduce_logq(self, elem):
+        """Sum per-element logq, with minibatch scaling for local groups."""
+        if self.local:
+            return elem @ jnp.asarray(self.scale_vec)
+        return jnp.sum(elem, axis=-1)
+
+    def sample_q(self, key, params, size, mb_keys=None):
+        eps = jax.random.normal(key, (size, self.ndim), floatX())
+        if self._encoder is not None:
+            enc = self._encoder
+            aux = params["aux"]
+            if mb_keys is None:
+                mu, rho = enc(aux, None)
+                mu = jnp.broadcast_to(jnp.ravel(mu), (size, self.ndim))
+                rho = jnp.broadcast_to(jnp.ravel(rho), (size, self.ndim))
+            else:
+                def one(k):
+                    m, r = enc(aux, k)
+                    return jnp.ravel(m), jnp.ravel(r)
+                mu, rho = jax.vmap(one)(mb_keys)
+            sigma = _rho2sigma(rho)
+            z = mu + sigma * eps
+            return z, self._reduce_logq(self._elem_logq(sigma, eps))
         mu, rho = params["mu"], params["rho"]
         sigma = _rho2sigma(rho)
-        eps = jax.random.normal(key, (size, self.ndim), floatX())
         z = mu[None, :] + sigma[None, :] * eps
-        logq = jnp.sum(
-            -0.5 * (_LOG2PI + 2 * jnp.log(sigma)[None, :] + eps ** 2),
-            axis=-1)
-        return z, logq
+        return z, self._reduce_logq(self._elem_logq(sigma[None, :], eps))
 
     def logq(self, params, z):
-        mu, rho = params["mu"], params["rho"]
+        mu, rho = self._mu_rho(params)
         sigma = _rho2sigma(rho)
-        return jnp.sum(-0.5 * (_LOG2PI + 2 * jnp.log(sigma) +
-                               ((z - mu) / sigma) ** 2))
+        elem = -0.5 * (_LOG2PI + 2 * jnp.log(sigma) + ((z - mu) / sigma) ** 2)
+        if self.local:
+            return elem @ jnp.asarray(self.scale_vec)
+        return jnp.sum(elem)
+
+    def _mu_rho(self, params):
+        if self._encoder is not None:
+            mu, rho = self._encoder(params["aux"], None)
+            return jnp.ravel(mu), jnp.ravel(rho)
+        return params["mu"], params["rho"]
 
     def mean(self, params):
-        return params["mu"]
+        return self._mu_rho(params)[0]
 
     def std(self, params):
-        return _rho2sigma(params["rho"])
+        return _rho2sigma(self._mu_rho(params)[1])
 
 
 class FullRankGroup(Group):
     """Full-rank Gaussian q with packed Cholesky (cf.
-    ``approximations.py:115``)."""
+    ``approximations.py:115``).
+
+    ``rowwise=True`` (cf. reference batched groups, ``opvi.py:507``)
+    factorizes q over the leading (row/batch) axis of a single grouped
+    variable: one small full-rank Gaussian per row — block-diagonal
+    covariance — instead of one dense ndim x ndim Cholesky."""
 
     short_name = "full_rank"
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        if self.rowwise:
+            if len(self.group_vars) != 1:
+                raise ValueError("rowwise groups take exactly one variable")
+            shp = np.shape(self.group_vars[0].test_value)
+            if len(shp) < 1 or shp[0] < 1:
+                raise ValueError("rowwise groups need a leading batch axis")
+            self.rows = int(shp[0])
+            assert self.ndim % self.rows == 0
+            self.row_dim = self.ndim // self.rows
 
     def init_params(self, start=None):
         if start is None:
@@ -93,6 +166,11 @@ class FullRankGroup(Group):
         mu = np.concatenate([
             np.ravel(np.asarray(start.get(vm.var, np.zeros(vm.shp))))
             for vm in self.ordering.vmap]).astype(floatX())
+        if self.rowwise:
+            d = self.row_dim
+            tril = np.tile(np.eye(d, dtype=floatX())[np.tril_indices(d)],
+                           (self.rows, 1))
+            return {"mu": jnp.asarray(mu), "L_tril": jnp.asarray(tril)}
         n = self.ndim
         L = np.eye(n, dtype=floatX())
         tril = L[np.tril_indices(n)]
@@ -106,10 +184,30 @@ class FullRankGroup(Group):
         diag = _softplus(jnp.diag(L))
         return L - jnp.diag(jnp.diag(L)) + jnp.diag(diag)
 
+    def _L_rows(self, params):
+        d = self.row_dim
+        tril = params["L_tril"]  # (rows, d*(d+1)/2)
+        L = jnp.zeros((self.rows, d, d), floatX())
+        ii, jj = jnp.tril_indices(d)
+        L = L.at[:, ii, jj].set(tril)
+        diag = _softplus(L[:, jnp.arange(d), jnp.arange(d)])
+        L = L.at[:, jnp.arange(d), jnp.arange(d)].set(diag)
+        return L
+
     def sample_q(self, key, params, size):
-        L = self._L(params)
         mu = params["mu"]
         eps = jax.random.normal(key, (size, self.ndim), floatX())
+        if self.rowwise:
+            L = self._L_rows(params)  # (rows, d, d)
+            eps_r = eps.reshape(size, self.rows, self.row_dim)
+            z = mu.reshape(self.rows, self.row_dim)[None] + jnp.einsum(
+                "rij,srj->sri", L, eps_r)
+            z = z.reshape(size, self.ndim)
+            logdet = jnp.sum(jnp.log(
+                L[:, jnp.arange(self.row_dim), jnp.arange(self.row_dim)]))
+            logq = jnp.sum(-0.5 * (_LOG2PI + eps ** 2), axis=-1) - logdet
+            return z, logq
+        L = self._L(params)
         z = mu[None, :] + eps @ L.T
         logdet = jnp.sum(jnp.log(jnp.diag(L)))
         logq = jnp.sum(-0.5 * (_LOG2PI + eps ** 2), axis=-1) - logdet
@@ -117,6 +215,14 @@ class FullRankGroup(Group):
 
     def logq(self, params, z):
         import jax.scipy.linalg as jsl
+        if self.rowwise:
+            L = self._L_rows(params)
+            dz = (z - params["mu"]).reshape(self.rows, self.row_dim)
+            w = jax.vmap(lambda Li, di: jsl.solve_triangular(
+                Li, di, lower=True))(L, dz)
+            logdet = jnp.sum(jnp.log(
+                L[:, jnp.arange(self.row_dim), jnp.arange(self.row_dim)]))
+            return jnp.sum(-0.5 * (_LOG2PI + w ** 2)) - logdet
         L = self._L(params)
         w = jsl.solve_triangular(L, z - params["mu"], lower=True)
         return jnp.sum(-0.5 * (_LOG2PI + w ** 2)) - \
@@ -126,10 +232,18 @@ class FullRankGroup(Group):
         return params["mu"]
 
     def std(self, params):
+        if self.rowwise:
+            L = self._L_rows(params)
+            return jnp.sqrt(jnp.sum(L ** 2, axis=-1)).reshape(self.ndim)
         L = self._L(params)
         return jnp.sqrt(jnp.sum(L ** 2, axis=1))
 
     def cov(self, params):
+        if self.rowwise:
+            import scipy.linalg
+            L = np.asarray(self._L_rows(params))
+            return scipy.linalg.block_diag(
+                *[Li @ Li.T for Li in L])
         L = self._L(params)
         return L @ L.T
 

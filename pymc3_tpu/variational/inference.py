@@ -146,14 +146,42 @@ class KLqp(Inference):
         super().__init__(KL, approx, None, beta=beta)
 
 
+def _build_local_approx(model, local_rv, global_family, start=None):
+    """Approximation = one local (AEVB) mean-field group per entry of
+    ``local_rv`` + one global group over the remaining free RVs
+    (cf. reference ``Inference.__init__`` local_rv plumbing,
+    ``inference.py:55-66``)."""
+    from .approximations import MeanFieldGroup, FullRankGroup
+    groups = []
+    local_names = set()
+    for var, spec in local_rv.items():
+        if isinstance(spec, (tuple, list)):
+            spec = dict(mu=spec[0], rho=spec[1])
+        g = MeanFieldGroup([var], local=True, params=dict(spec), model=model)
+        groups.append(g)
+        local_names.update(v.name for v in g.group_vars)
+    rest = [v for v in model.free_RVs if v.name not in local_names]
+    if rest:
+        fam = {"mean_field": MeanFieldGroup,
+               "full_rank": FullRankGroup}[global_family]
+        groups.append(fam(rest, model=model))
+    return Approximation(groups, model=model)
+
+
 class ADVI(KLqp):
     """Automatic Differentiation Variational Inference
-    (cf. ``inference.py:323``)."""
+    (cf. ``inference.py:323``). ``local_rv={rv: dict(mu=..., rho=...)}``
+    enables AEVB local groups (cf. ``test_vae``/``test_aevb`` in the
+    reference suite)."""
 
     def __init__(self, *args, model=None, random_seed=None, start=None,
-                 **kwargs):
+                 local_rv=None, **kwargs):
         model = modelcontext(model)
-        approx = MeanField(model=model, start=start)
+        if local_rv:
+            approx = _build_local_approx(model, local_rv, "mean_field",
+                                         start=start)
+        else:
+            approx = MeanField(model=model, start=start)
         super().__init__(approx, **{k: v for k, v in kwargs.items()
                                     if k == "beta"})
 
@@ -162,9 +190,13 @@ class FullRankADVI(KLqp):
     """Full-rank ADVI (cf. ``inference.py:471``)."""
 
     def __init__(self, *args, model=None, random_seed=None, start=None,
-                 **kwargs):
+                 local_rv=None, **kwargs):
         model = modelcontext(model)
-        approx = FullRank(model=model)
+        if local_rv:
+            approx = _build_local_approx(model, local_rv, "full_rank",
+                                         start=start)
+        else:
+            approx = FullRank(model=model)
         super().__init__(approx, **{k: v for k, v in kwargs.items()
                                     if k == "beta"})
 
@@ -228,8 +260,12 @@ def fit(n=10000, local_rv=None, method="advi", model=None, random_seed=None,
     else:
         inf_kwargs = dict(inf_kwargs)
     if local_rv is not None:
-        raise NotImplementedError(
-            "Local (AEVB) variables are not supported in the TPU build yet")
+        if not (isinstance(method, str)
+                and method in ("advi", "fullrank_advi")):
+            raise NotImplementedError(
+                "local_rv (AEVB) is only supported for advi/fullrank_advi "
+                "(cf. reference op_err on non-KLqp operators)")
+        inf_kwargs["local_rv"] = local_rv
     if random_seed is not None:
         inf_kwargs["random_seed"] = random_seed
     if start is not None:

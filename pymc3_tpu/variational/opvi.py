@@ -64,26 +64,43 @@ class Group:
 
     def __init__(self, group=None, vfam=None, params=None, model=None,
                  local=False, rowwise=False, options=None, **kwargs):
-        if local:
-            raise NotImplementedError(
-                "Local (AEVB) groups are not supported in the TPU build yet")
         model = modelcontext(model)
         self.model = model
+        self.local = bool(local)
+        self.rowwise = bool(rowwise)
+        if self.local and params is None:
+            raise ValueError(
+                "Local (AEVB) groups need user-provided params "
+                "(cf. reference opvi.py:507: local groups take their "
+                "variational parameters from the user/encoder)")
         if group is None:
+            if self.local:
+                raise ValueError("Local groups must name their variables")
             self.group_vars = model.free_RVs
         else:
-            self.group_vars = [
-                getattr(v, "transformed", None) or v for v in group]
-            self.group_vars = [model.named_vars.get(
-                getattr(v, "name", v), v) for v in self.group_vars]
+            def _resolve(v):
+                # never use `or` here: Nodes raise on __bool__
+                tr = getattr(v, "transformed", None)
+                return v if tr is None else tr
+            group_vars = [_resolve(v) for v in group]
+            group_vars = [model.named_vars.get(getattr(v, "name", v), v)
+                          for v in group_vars]
+            self.group_vars = [_resolve(v) for v in group_vars]
         self.ordering = ArrayOrdering(self.group_vars)
         self.ndim = self.ordering.size
         glob = model.ordering
         idx = []
+        scale = []
         for vm in self.ordering.vmap:
             g = glob.by_name[vm.var]
             idx.extend(range(g.slc.start, g.slc.stop))
+            rv_scaling = float(getattr(
+                model.named_vars.get(vm.var), "scaling", 1.0) or 1.0)
+            scale.extend([rv_scaling] * (g.slc.stop - g.slc.start))
         self.q_indices = np.asarray(idx, dtype=np.int32)
+        # per-element minibatch logq scaling (cf. reference symbolic_logq,
+        # opvi.py:1180: local-group logq is scaled like the model logp term)
+        self.scale_vec = np.asarray(scale, dtype=floatX())
         self.user_params = params
 
     # family interface -------------------------------------------------------
@@ -150,8 +167,11 @@ class ObjectiveFunction:
 
         def loss(params, key):
             k_q, k_mb = jax.random.split(key)
-            z, logq = approx.sample_q(k_q, params, nmc)
             mb_keys = jax.random.split(k_mb, nmc)
+            # the SAME per-sample minibatch key drives both the encoder of
+            # local (AEVB) groups and the model's Minibatch slicing, so the
+            # amortized posterior sees exactly the rows the likelihood sees
+            z, logq = approx.sample_q(k_q, params, nmc, mb_keys=mb_keys)
             vals = jax.vmap(per_sample)(z, logq, mb_keys)
             return jnp.mean(vals)
         return loss
@@ -224,14 +244,22 @@ class Approximation:
         return self.model.ordering.size
 
     # -- sampling ------------------------------------------------------------
-    def sample_q(self, key, params, size):
-        """(z (size, ndim), logq (size,)) across all groups."""
+    def sample_q(self, key, params, size, mb_keys=None):
+        """(z (size, ndim), logq (size,)) across all groups.
+
+        ``mb_keys`` (size, 2): per-sample minibatch PRNG keys forwarded to
+        local (AEVB) groups so their encoders slice the same minibatch rows
+        as the model logp."""
         n = self.ndim
         z = jnp.zeros((size, n), floatX())
         logq = jnp.zeros((size,), floatX())
         keys = jax.random.split(key, len(self.groups))
         for i, g in enumerate(self.groups):
-            zi, lqi = g.sample_q(keys[i], params[i], size)
+            if getattr(g, "local", False):
+                zi, lqi = g.sample_q(keys[i], params[i], size,
+                                     mb_keys=mb_keys)
+            else:
+                zi, lqi = g.sample_q(keys[i], params[i], size)
             z = z.at[:, jnp.asarray(g.q_indices)].set(zi)
             logq = logq + lqi
         return z, logq

@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Chain-scaling sweep for the radon NUTS benchmark on the current backend.
+
+Measures steady-state sampling throughput (second run after compile) at a
+range of vmapped chain counts to locate the chip's saturation knee
+(ESS/sec/chip scales ~linearly with chains until then). Prints one JSON
+line per configuration.
+
+Usage: python scripts/bench_sweep.py [chains ...]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import pymc3_tpu as pm
+    from pymc3_tpu.config import enable_compilation_cache
+    import jax
+    enable_compilation_cache("bench")
+    from bench import build_model
+
+    chain_counts = [int(c) for c in sys.argv[1:]] or [8, 64, 256, 512, 1024]
+    draws = int(os.environ.get("SWEEP_DRAWS", 500))
+    tune = int(os.environ.get("SWEEP_TUNE", 500))
+    target_accept = float(os.environ.get("SWEEP_TARGET_ACCEPT", 0.9))
+
+    model = build_model(pm)
+
+    for chains in chain_counts:
+        def run(seed):
+            t0 = time.time()
+            tr = pm.sample(draws=draws, tune=tune, chains=chains,
+                           model=model, progressbar=False, random_seed=seed,
+                           target_accept=target_accept,
+                           axis_name="chains_local",
+                           compute_convergence_checks=False)
+            return tr, time.time() - t0
+
+        _, compile_wall = run(1)
+        trace, wall = run(2)
+        ess = float(np.asarray(pm.ess(trace, var_names=["mu_a"])["mu_a"]))
+        rhat = float(np.asarray(pm.rhat(trace, var_names=["mu_a"])["mu_a"]))
+        n_div = int(np.sum(np.asarray(trace.get_sampler_stats("diverging"))))
+        tree = np.asarray(trace.get_sampler_stats("tree_size"), dtype=np.float64)
+        leapfrogs = float(tree.sum())
+        print(json.dumps({
+            "chains": chains, "draws": draws, "tune": tune,
+            "wall_s": round(wall, 2), "compile_wall_s": round(compile_wall, 2),
+            "ess_mu_a": round(ess, 1),
+            "ess_per_sec": round(ess / wall, 2),
+            "kept_draws_per_sec": round(draws * chains / wall, 1),
+            "post_tune_leapfrogs_per_sec": round(leapfrogs / wall, 0),
+            "rhat": round(rhat, 4), "divergences": n_div,
+            "div_frac": round(n_div / (draws * chains), 5),
+            "backend": jax.default_backend(),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
