@@ -166,6 +166,26 @@ class MultiTrace:
     def __iter__(self):
         return iter(self.points())
 
+    def _lookup(self, key):
+        """Classify a user key as model variable or sampler statistic.
+
+        Returns a zero-argument accessor, or None if the key names neither.
+        Variables shadow statistics (with an ambiguity warning), matching
+        the user-facing contract of the reference API."""
+        name = get_var_name(key)
+        is_var = name in self.varnames
+        is_stat = name in self.stat_names
+        if is_var and is_stat:
+            warnings.warn(
+                "Attribute access on a trace object is ambiguous. "
+                "Sampler statistic and model variable share a name. Use "
+                "trace.get_values or trace.get_sampler_stats.")
+        if is_var:
+            return lambda: self.get_values(name)
+        if is_stat:
+            return lambda: self.get_sampler_stats(name)
+        return None
+
     def __getitem__(self, idx):
         if isinstance(idx, slice):
             return self._slice(idx)
@@ -174,20 +194,14 @@ class MultiTrace:
         except (ValueError, TypeError):
             pass
         if isinstance(idx, tuple):
+            # ('name', slice(burn, None, thin)) form
             var, vslice = idx
-            burn, thin = vslice.start or 0, vslice.step or 1
-            return self.get_values(var, burn=burn, thin=thin)
-        name = get_var_name(idx)
-        if name in self.varnames:
-            if name in self.stat_names:
-                warnings.warn(
-                    f"Attribute access on a trace object is ambiguous. "
-                    f"Sampler statistic and model variable share a name. Use "
-                    f"trace.get_values or trace.get_sampler_stats.")
-            return self.get_values(name)
-        if name in self.stat_names:
-            return self.get_sampler_stats(name)
-        raise KeyError(f"Unknown variable {name}")
+            return self.get_values(var, burn=vslice.start or 0,
+                                   thin=vslice.step or 1)
+        accessor = self._lookup(idx)
+        if accessor is None:
+            raise KeyError(f"Unknown variable {get_var_name(idx)}")
+        return accessor()
 
     _attrs = {"_straces", "varnames", "chains", "stat_names", "_report",
               "supports_sampler_stats"}
@@ -197,18 +211,11 @@ class MultiTrace:
         # variables are set up
         if name in self._attrs:
             raise AttributeError(name)
-        name = get_var_name(name)
-        if name in self.varnames:
-            if name in self.stat_names:
-                warnings.warn(
-                    "Attribute access on a trace object is ambiguous. "
-                    "Sampler statistic and model variable share a name. Use "
-                    "trace.get_values or trace.get_sampler_stats.")
-            return self.get_values(name)
-        if name in self.stat_names:
-            return self.get_sampler_stats(name)
-        raise AttributeError(
-            f"'{type(self).__name__}' object has no attribute {name!r}")
+        accessor = self._lookup(name)
+        if accessor is None:
+            raise AttributeError(
+                f"'{type(self).__name__}' object has no attribute {name!r}")
+        return accessor()
 
     def __len__(self):
         chain = self.chains[-1]
@@ -272,34 +279,31 @@ class MultiTrace:
                     chain.vars.remove(va)
             del chain.samples[name]
 
+    def _chain_list(self, chains):
+        """Normalize a chains argument to a list of chain ids."""
+        if chains is None:
+            return self.chains
+        if np.ndim(chains) == 0:
+            return [chains]
+        return list(chains)
+
     def get_values(self, varname, burn=0, thin=1, combine=True, chains=None,
                    squeeze=True):
-        """Get values from traces (cf. ``base.py:470``)."""
-        varname = get_var_name(varname)
-        if chains is None:
-            chains = self.chains
-        try:
-            results = [self._straces[chain].get_values(varname, burn, thin)
-                       for chain in chains]
-        except TypeError:  # single chain
-            results = [self._straces[chains].get_values(varname, burn, thin)]
-        return _squeeze_cat(results, combine, squeeze)
+        """Per-chain value arrays for ``varname`` (cf. ``base.py:470``)."""
+        name = get_var_name(varname)
+        per_chain = [self._straces[c].get_values(name, burn, thin)
+                     for c in self._chain_list(chains)]
+        return _squeeze_cat(per_chain, combine, squeeze)
 
     def get_sampler_stats(self, stat_name, burn=0, thin=1, combine=True,
                           chains=None, squeeze=True):
-        """Get sampler statistics from the trace (cf. ``base.py:502``)."""
+        """Per-chain sampler-statistic arrays (cf. ``base.py:502``)."""
         if stat_name not in self.stat_names:
             raise KeyError(f"Unknown sampler statistic {stat_name}")
-        if chains is None:
-            chains = self.chains
-        try:
-            chains = iter(chains)
-        except TypeError:
-            chains = [chains]
-        results = [self._straces[chain].get_sampler_stats(stat_name, None,
-                                                          burn, thin)
-                   for chain in chains]
-        return _squeeze_cat(results, combine, squeeze)
+        per_chain = [self._straces[c].get_sampler_stats(stat_name, None,
+                                                        burn, thin)
+                     for c in self._chain_list(chains)]
+        return _squeeze_cat(per_chain, combine, squeeze)
 
     def _slice(self, slice_):
         """Return a new MultiTrace object sliced according to ``slice_``."""

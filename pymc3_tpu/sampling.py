@@ -233,7 +233,7 @@ def sample(draws=500, step=None, init="auto", n_init=200000, start=None,
     mtrace.report._t_sampling = t_sampling
 
     # divergence warnings (cf. NUTS warnings, nuts.py:420-460)
-    _attach_sample_stats_warnings(mtrace, step, tune)
+    _attach_sample_stats_warnings(mtrace, step, tune, model)
 
     n_diverging = 0
     if "diverging" in (mtrace.stat_names or set()):
@@ -250,6 +250,16 @@ def sample(draws=500, step=None, init="auto", n_init=200000, start=None,
         else:
             mtrace.report._run_convergence_checks(mtrace, model)
     mtrace.report._log_summary()
+
+    if return_inferencedata:
+        from .backends.inferencedata import to_inference_data
+        idata = to_inference_data(mtrace, model=model,
+                                  **(idata_kwargs or {}))
+        try:
+            idata.report = mtrace.report
+        except Exception:
+            pass
+        return idata
     return mtrace
 
 
@@ -552,8 +562,35 @@ def _extract_warmup_state(final_state, ci):
         return None
 
 
-def _attach_sample_stats_warnings(mtrace, step, tune):
+def _attach_sample_stats_warnings(mtrace, step, tune, model=None):
     report = mtrace.report
+    try:
+        # per-chain non-finite-logp detection with per-RV attribution
+        # (cf. the reference's "Bad initial energy" per-RV breakdown,
+        # base_hmc.py:138-158 — here applied to any draw of the run)
+        if model is not None and "model_logp" in mtrace.stat_names:
+            for chain in mtrace.chains:
+                lp = np.asarray(mtrace.get_sampler_stats(
+                    "model_logp", chains=[chain]), dtype=np.float64)
+                bad = ~np.isfinite(lp)
+                if bad.any():
+                    idx = int(np.argmax(bad))
+                    try:
+                        point = mtrace.point(idx, chain=chain)
+                        per_rv = model.check_test_point(point)
+                        offenders = [str(k) for k, v in per_rv.items()
+                                     if not np.isfinite(v)]
+                    except Exception:
+                        offenders = []
+                    names = ", ".join(offenders) if offenders \
+                        else "unattributed"
+                    report._add_warnings([SamplerWarning(
+                        WarningType.BAD_ENERGY,
+                        f"Chain {chain} hit a non-finite model logp at draw "
+                        f"{idx} (offending logp terms: {names}).",
+                        "warn", idx, None, None)], chain)
+    except (KeyError, ValueError):
+        pass
     try:
         if "diverging" in mtrace.stat_names:
             for chain in mtrace.chains:
