@@ -49,7 +49,8 @@ def _apply_covfn(kind, d2):
         t = jnp.sqrt(3.0 * d2 + _EPS)
         return (1.0 + t) * jnp.exp(-t)
     if kind == "exponential":
-        return jnp.exp(-jnp.sqrt(d2 + _EPS))
+        # k = exp(-r/2) — matches gp.cov.Exponential (reference cov.py:415)
+        return jnp.exp(-0.5 * jnp.sqrt(d2 + _EPS))
     raise ValueError(f"unknown stationary kind: {kind}")
 
 
@@ -64,7 +65,7 @@ def _dcov_dd2(kind, d2):
         return -1.5 * jnp.exp(-jnp.sqrt(3.0 * d2 + _EPS))
     if kind == "exponential":
         r = jnp.sqrt(d2 + _EPS)
-        return jnp.exp(-r) * (-0.5 / r)
+        return jnp.exp(-0.5 * r) * (-0.25 / r)
     raise ValueError(f"unknown stationary kind: {kind}")
 
 
@@ -97,19 +98,30 @@ def _kernel_body(kind, n_feat, x_ref, y_ref, o_ref):
 @functools.lru_cache(maxsize=None)
 def _build_pallas_call(kind, n, m, n_feat, dtype_name, interpret):
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     grid = (n // _TILE, m // _TILE)
     body = functools.partial(_kernel_body, kind, n_feat)
+    kwargs = {}
+    if not interpret:
+        # ~n_feat VPU adds + one transcendental per output element
+        kwargs["cost_estimate"] = pl.CostEstimate(
+            flops=3 * n * m * n_feat, transcendentals=n * m,
+            bytes_accessed=4 * (n * n_feat + m * n_feat + n * m))
     return pl.pallas_call(
         body,
         out_shape=jax.ShapeDtypeStruct((n, m), jnp.dtype(dtype_name)),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_TILE, n_feat), lambda i, j: (i, 0)),
-            pl.BlockSpec((_TILE, n_feat), lambda i, j: (j, 0)),
+            pl.BlockSpec((_TILE, n_feat), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE, n_feat), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_TILE, _TILE), lambda i, j: (i, j)),
+        out_specs=pl.BlockSpec((_TILE, _TILE), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
         interpret=bool(interpret),
+        **kwargs,
     )
 
 

@@ -17,9 +17,14 @@ def sample_smc(draws=1000, kernel="metropolis", n_steps=25, parallel=False,
                start=None, cores=None, tune_steps=True, p_acc_rate=0.99,
                threshold=0.5, epsilon=1.0, dist_func="absolute_error",
                sum_stat=False, progressbar=False, model=None,
-               random_seed=-1):
+               random_seed=-1, devices=None, mesh=None):
     """Sequential Monte Carlo sampling (cf. ``sample_smc``,
     ``sample_smc.py:19``): stage loop while β<1.
+
+    ``devices``/``mesh`` shard the particle axis over a device mesh —
+    per-particle logp and mutation run on the owning chip (the TPU-native
+    replacement for the reference's ``mp.Pool``; SURVEY §2.4). ``draws``
+    must then be a multiple of the device count.
 
     Returns a MultiTrace whose ``report`` carries the accumulated log
     marginal likelihood.
@@ -28,7 +33,8 @@ def sample_smc(draws=1000, kernel="metropolis", n_steps=25, parallel=False,
               start=start, cores=cores, tune_steps=tune_steps,
               p_acc_rate=p_acc_rate, threshold=threshold, epsilon=epsilon,
               dist_func=dist_func, sum_stat=sum_stat,
-              progressbar=progressbar, model=model, random_seed=random_seed)
+              progressbar=progressbar, model=model, random_seed=random_seed,
+              devices=devices, mesh=mesh)
 
     t1 = time.time()
     logger.info("Sample initial stage: ...")

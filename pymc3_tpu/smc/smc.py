@@ -39,8 +39,23 @@ class SMC:
                  parallel=False, start=None, cores=None, tune_steps=True,
                  p_acc_rate=0.99, threshold=0.5, epsilon=1.0, dist_func=None,
                  sum_stat=False, progressbar=False, model=None,
-                 random_seed=-1):
+                 random_seed=-1, devices=None, mesh=None):
         self.draws = int(draws)
+        # -- particle sharding over a device mesh (SURVEY §2.4 "SMC particle
+        # parallelism"; replaces the reference's mp.Pool, smc/smc.py:156) ---
+        self.sharding = None
+        if mesh is None and devices is not None:
+            from ..parallel import make_mesh
+            mesh = make_mesh(devices, axis_name="particles")
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            n_dev = int(np.prod(mesh.devices.shape))
+            if self.draws % n_dev != 0:
+                raise ValueError(
+                    f"draws ({self.draws}) must be a multiple of the device "
+                    f"count ({n_dev}) for particle sharding")
+            self.mesh = mesh
+            self.sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
         self.kernel = kernel
         self.n_steps = int(n_steps)
         self.start = start
@@ -74,6 +89,19 @@ class SMC:
         self._key, sub = jax.random.split(self._key)
         return sub
 
+    def _shard(self, x, axis_leading=True):
+        """Place a particle-leading array on the mesh (no-op single-device).
+
+        With a sharding set, jitted vmapped particle functions run SPMD:
+        XLA partitions the particle axis across devices, per-particle logp
+        and mutation execute on the owning chip, and cross-device movement
+        happens only at the resampling gather — the TPU-native replacement
+        for the reference's ``mp.Pool.starmap`` (``smc/smc.py:156-272``)."""
+        arr = jnp.asarray(x)
+        if self.sharding is None:
+            return arr
+        return jax.device_put(arr, self.sharding)
+
     # -- stages (cf. smc.py:101-330) -----------------------------------------
     def initialize_population(self):
         """Draw initial particles from the prior (cf. ``smc.py:101``)."""
@@ -104,8 +132,8 @@ class SMC:
             self.likelihood_logp_fn = jax.jit(jax.vmap(model.datalogpt_fn()))
 
     def initialize_logp(self):
-        """cf. ``smc.py:152``."""
-        q = jnp.asarray(self.posterior)
+        """cf. ``smc.py:152`` — particle-sharded logp evaluation."""
+        q = self._shard(self.posterior)
         self.prior_logp = np.asarray(self.prior_logp_fn(q), dtype=np.float64)
         self.likelihood_logp = np.asarray(self.likelihood_logp_fn(q),
                                           dtype=np.float64)
@@ -220,12 +248,15 @@ class SMC:
                 None, length=n_steps)
             return q, pl, ll, accs / n_steps
 
-        keys = jax.random.split(self._split(), self.draws)
+        keys = self._shard(jax.random.split(self._split(), self.draws))
         run = jax.jit(jax.vmap(particle_chain))
-        q, pl, ll, acc = run(keys, jnp.asarray(self.posterior),
-                             jnp.asarray(self.scalings, floatX()),
-                             jnp.asarray(self.prior_logp, floatX()),
-                             jnp.asarray(self.likelihood_logp, floatX()))
+        q, pl, ll, acc = run(keys, self._shard(self.posterior),
+                             self._shard(np.asarray(self.scalings,
+                                                    floatX())),
+                             self._shard(np.asarray(self.prior_logp,
+                                                    floatX())),
+                             self._shard(np.asarray(self.likelihood_logp,
+                                                    floatX())))
         self.posterior = np.asarray(q)
         self.prior_logp = np.asarray(pl, dtype=np.float64)
         self.likelihood_logp = np.asarray(ll, dtype=np.float64)

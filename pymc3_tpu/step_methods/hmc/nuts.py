@@ -390,7 +390,15 @@ class NUTS(GradientSharedStep):
         n_leaf = jnp.maximum(tree.n_leapfrog, 1)
         mean_accept = tree.sum_accept / n_leaf.astype(floatX())
 
-        da_new = da_update(state.da, mean_accept,
+        # pooled step-size adaptation: averaging the accept statistic over
+        # the (vmapped/sharded) chain axis gives every chain the same eps.
+        # On lockstep SPMD hardware this also equalizes tree depths across
+        # vmap lanes, cutting the max-over-chains cost of each draw.
+        da_accept = mean_accept
+        if self.axis_name is not None:
+            da_accept = jax.lax.pmean(mean_accept, self.axis_name)
+
+        da_new = da_update(state.da, da_accept,
                            tctx.tune & self.adapt_step_size,
                            target=self.target_accept, gamma=self.gamma,
                            k=self.k, t0=self.t0)

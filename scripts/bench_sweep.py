@@ -29,6 +29,9 @@ def main():
     draws = int(os.environ.get("SWEEP_DRAWS", 500))
     tune = int(os.environ.get("SWEEP_TUNE", 500))
     target_accept = float(os.environ.get("SWEEP_TARGET_ACCEPT", 0.9))
+    pooled = os.environ.get("SWEEP_POOLED", "1") != "0"
+    block_size = os.environ.get("SWEEP_BLOCK")
+    block_size = int(block_size) if block_size else None
 
     model = build_model(pm)
 
@@ -38,7 +41,8 @@ def main():
             tr = pm.sample(draws=draws, tune=tune, chains=chains,
                            model=model, progressbar=False, random_seed=seed,
                            target_accept=target_accept,
-                           axis_name="chains_local",
+                           axis_name="chains_local" if pooled else None,
+                           block_size=block_size,
                            compute_convergence_checks=False)
             return tr, time.time() - t0
 
