@@ -288,13 +288,37 @@ class Stationary(Covariance):
     def full(self, X, Xs=None):
         raise NotImplementedError
 
+    # Pallas-fused covariance id (ops/pallas/gp_cov.py); subclasses whose
+    # k = f(d²) has a fused TPU kernel set this and route full() through
+    # _fused_full. On non-TPU backends stationary_cov falls back to the
+    # identical-math fused-XLA form, so numerics match everywhere.
+    _fused_kind = None
+
+    def _fused_full(self, X, Xs=None):
+        """K via the fused distance+covariance op (one VMEM-resident pass
+        per output tile on TPU — see ops/pallas/gp_cov.py)."""
+        from ..ops.pallas.gp_cov import stationary_cov
+        kind = self._fused_kind
+
+        def f(X_, Xs_, ls):
+            Xl = jnp.asarray(X_, floatX()) / ls
+            Xsl = Xl if Xs_ is None else jnp.asarray(Xs_, floatX()) / ls
+            # mean-centering: distance-invariant float32 safety, as in
+            # _sqdist above
+            c = jnp.mean(Xl, axis=0)
+            return stationary_cov(Xl - c, Xsl - c, kind=kind)
+
+        X, Xs = self._slice(X, Xs)
+        if Xs is None:
+            return node_apply(lambda X_, ls: f(X_, None, ls), X, self.ls)
+        return node_apply(f, X, Xs, self.ls)
+
 
 class ExpQuad(Stationary):
     r"""k(x,x') = exp(-|x-x'|^2 / (2 l^2)) (cf. ``cov.py:331``)."""
 
-    def full(self, X, Xs=None):
-        return node_apply(lambda d2: jnp.exp(-0.5 * d2),
-                          self.square_dist(X, Xs))
+    _fused_kind = "expquad"
+    full = Stationary._fused_full
 
 
 class RatQuad(Stationary):
@@ -314,35 +338,29 @@ class RatQuad(Stationary):
 class Matern52(Stationary):
     r"""cf. ``cov.py:367``."""
 
-    def full(self, X, Xs=None):
-        return node_apply(
-            lambda r: (1.0 + np.sqrt(5.0) * r + 5.0 / 3.0 * r ** 2)
-            * jnp.exp(-np.sqrt(5.0) * r),
-            self.euclidean_dist(X, Xs))
+    _fused_kind = "matern52"
+    full = Stationary._fused_full
 
 
 class Matern32(Stationary):
     r"""cf. ``cov.py:386``."""
 
-    def full(self, X, Xs=None):
-        return node_apply(
-            lambda r: (1.0 + np.sqrt(3.0) * r) * jnp.exp(-np.sqrt(3.0) * r),
-            self.euclidean_dist(X, Xs))
+    _fused_kind = "matern32"
+    full = Stationary._fused_full
 
 
 class Matern12(Stationary):
     r"""cf. ``cov.py`` Matern12 (=Exponential in distance form)."""
 
-    def full(self, X, Xs=None):
-        return node_apply(lambda r: jnp.exp(-r), self.euclidean_dist(X, Xs))
+    _fused_kind = "matern12"
+    full = Stationary._fused_full
 
 
 class Exponential(Stationary):
     r"""k = exp(-|x-x'| / (2l)) (cf. ``cov.py:415``)."""
 
-    def full(self, X, Xs=None):
-        return node_apply(lambda r: jnp.exp(-0.5 * r),
-                          self.euclidean_dist(X, Xs))
+    _fused_kind = "exponential"
+    full = Stationary._fused_full
 
 
 class Cosine(Stationary):

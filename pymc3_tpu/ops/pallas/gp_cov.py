@@ -18,6 +18,15 @@ than saving an N×M residual in HBM.
 Selection: ``stationary_cov`` dispatches to Pallas on TPU backends for
 problems ≥ 128×128 and falls back to fused jnp everywhere else (CPU test
 meshes, tiny N). ``PYMC3_TPU_DISABLE_PALLAS=1`` forces the fallback.
+
+Measured (TPU v5e, ``scripts/bench_gp_pallas.py``): at n=16384, d=4 the
+Pallas kernel and XLA's own fusion of the fallback tie at ~173 GB/s
+effective — both sit at the VPU transcendental ceiling (~45G exp/s), so
+there is no headroom left in this op; max|err| = 0 between the paths, and
+end-to-end GP marginal-likelihood+grad (cholesky-dominated) is identical.
+At n=4096 timings are tunnel-dispatch-bound and noisy (0.6–1.4x). The
+Pallas path is kept as the TPU default: equal-or-better, and it guarantees
+the single-pass VMEM schedule regardless of what surrounds it in the jit.
 """
 from __future__ import annotations
 
@@ -32,7 +41,8 @@ __all__ = ["stationary_cov", "pallas_stationary_available",
            "STATIONARY_KINDS"]
 
 # kind -> f(d2); d2 is the squared distance in lengthscale units
-STATIONARY_KINDS = ("expquad", "matern52", "matern32", "exponential")
+STATIONARY_KINDS = ("expquad", "matern52", "matern32", "matern12",
+                    "exponential")
 
 _TILE = 128
 _EPS = 1e-12
@@ -48,6 +58,8 @@ def _apply_covfn(kind, d2):
     if kind == "matern32":
         t = jnp.sqrt(3.0 * d2 + _EPS)
         return (1.0 + t) * jnp.exp(-t)
+    if kind == "matern12":
+        return jnp.exp(-jnp.sqrt(d2 + _EPS))
     if kind == "exponential":
         # k = exp(-r/2) — matches gp.cov.Exponential (reference cov.py:415)
         return jnp.exp(-0.5 * jnp.sqrt(d2 + _EPS))
@@ -63,6 +75,9 @@ def _dcov_dd2(kind, d2):
         return -(5.0 / 6.0) * (1.0 + t) * jnp.exp(-t)
     if kind == "matern32":
         return -1.5 * jnp.exp(-jnp.sqrt(3.0 * d2 + _EPS))
+    if kind == "matern12":
+        r = jnp.sqrt(d2 + _EPS)
+        return jnp.exp(-r) * (-0.5 / r)
     if kind == "exponential":
         r = jnp.sqrt(d2 + _EPS)
         return jnp.exp(-0.5 * r) * (-0.25 / r)
@@ -70,8 +85,17 @@ def _dcov_dd2(kind, d2):
 
 
 def _sqdist_exact(X, Xs):
-    """Float32-safe pairwise squared distance (pairwise-difference form)."""
-    d2 = jnp.sum((X[:, None, :] - Xs[None, :, :]) ** 2, axis=-1)
+    """Float32-safe pairwise squared distance.
+
+    Low-dim (the usual GP case): exact pairwise-difference form — the
+    x²+x'²-2xx' matmul trick cancels catastrophically in float32. High-dim:
+    the (n, m, d) intermediate would dominate memory, so fall back to the
+    matmul form (same tradeoff as gp/cov.py:261-269)."""
+    if X.shape[-1] <= 32:
+        d2 = jnp.sum((X[:, None, :] - Xs[None, :, :]) ** 2, axis=-1)
+    else:
+        d2 = (jnp.sum(X ** 2, axis=-1)[:, None]
+              + jnp.sum(Xs ** 2, axis=-1)[None, :] - 2 * X @ Xs.T)
     return jnp.clip(d2, 0.0, jnp.inf)
 
 
@@ -83,14 +107,18 @@ def _fallback(kind, X, Xs):
 # Pallas path
 # --------------------------------------------------------------------------
 
-def _kernel_body(kind, n_feat, x_ref, y_ref, o_ref):
+def _kernel_body(kind, n_feat, x_ref, yt_ref, o_ref):
     """One (TILE, TILE) output tile: exact d² accumulated feature-by-feature
-    on the VPU, covariance function applied in-register."""
+    on the VPU, covariance function applied in-register.
+
+    Y arrives pre-transposed as (n_feat, TILE) so ``yt_ref[d:d+1, :]`` is
+    already lane-major — no in-kernel sublane→lane transposes (each one
+    costs a cross-lane shuffle per feature per tile)."""
     acc = jnp.zeros((_TILE, _TILE), jnp.float32)
     for d in range(n_feat):
-        xi = x_ref[:, d].astype(jnp.float32).reshape(_TILE, 1)
-        xj = y_ref[:, d].astype(jnp.float32).reshape(1, _TILE)
-        diff = xi - xj
+        xi = x_ref[:, d:d + 1].astype(jnp.float32)      # (TILE, 1) sublane
+        yj = yt_ref[d:d + 1, :].astype(jnp.float32)     # (1, TILE) lane
+        diff = xi - yj
         acc += diff * diff
     o_ref[:] = _apply_covfn(kind, acc).astype(o_ref.dtype)
 
@@ -115,7 +143,7 @@ def _build_pallas_call(kind, n, m, n_feat, dtype_name, interpret):
         in_specs=[
             pl.BlockSpec((_TILE, n_feat), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE, n_feat), lambda i, j: (j, 0),
+            pl.BlockSpec((n_feat, _TILE), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((_TILE, _TILE), lambda i, j: (i, j),
@@ -143,7 +171,7 @@ def _pallas_cov(kind, X, Xs, interpret=False):
     Xsp = _pad_rows(Xs, m_pad)
     call = _build_pallas_call(kind, n_pad, m_pad, d, X.dtype.name,
                               interpret)
-    K = call(Xp, Xsp)
+    K = call(Xp, Xsp.T)
     return K[:n, :m]
 
 
