@@ -38,13 +38,17 @@ def build_model(pm):
     county_idx = data.county_code.values.astype("int32")
     n_counties = len(data.county.unique())
 
+    # exact reference parameterization (benchmarks.py:25-45): NON-centered
+    # county effects (a = mu_a + sigma_a * a_raw)
     with pm.Model() as model:
         mu_a = pm.Normal("mu_a", mu=0.0, sigma=100.0 ** 2)
         sigma_a = pm.HalfCauchy("sigma_a", 5)
         mu_b = pm.Normal("mu_b", mu=0.0, sigma=100.0 ** 2)
         sigma_b = pm.HalfCauchy("sigma_b", 5)
-        a = pm.Normal("a", mu=mu_a, sigma=sigma_a, shape=n_counties)
-        b = pm.Normal("b", mu=mu_b, sigma=sigma_b, shape=n_counties)
+        a_raw = pm.Normal("a", mu=0.0, sigma=1.0, shape=n_counties)
+        b_raw = pm.Normal("b", mu=0.0, sigma=1.0, shape=n_counties)
+        a = mu_a + sigma_a * a_raw
+        b = mu_b + sigma_b * b_raw
         eps = pm.HalfCauchy("eps", 5)
         radon_est = a[county_idx] + b[county_idx] * data.floor.values
         pm.Normal("radon_like", mu=radon_est, sigma=eps,

@@ -31,7 +31,7 @@ RNG_ENV_KEY = "__rng__"
 
 _DATA_SEARCH_PATHS = [
     os.path.join(os.path.dirname(__file__), "datasets"),
-    "/root/reference/pymc3/examples/data",
+    os.path.join(os.path.dirname(__file__), "examples", "data"),
 ]
 
 

@@ -139,6 +139,17 @@ class BlockedStep:
             idx.extend(range(g.slc.start, g.slc.stop))
         self.q_indices = np.asarray(idx, dtype=np.int64)
         self.bij = DictToArrayBijection(self.ordering, model.test_point)
+        # True when this stepper owns a strict subset of the model's flat
+        # vector — i.e. it runs inside a CompoundStep and other steppers
+        # move q between its calls, invalidating any cached logp/grad.
+        self.is_partial = self.dim != model.ordering.size
+
+    def _refresh_logp(self, q, cached):
+        """Current-point logp: the cached value from our own previous call
+        is stale whenever another stepper has moved q (is_partial)."""
+        if self.is_partial:
+            return self._logp_fn(q)
+        return cached
 
     # -- functional kernel interface -----------------------------------------
     def kernel_init(self, q0):

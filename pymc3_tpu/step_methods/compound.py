@@ -41,7 +41,12 @@ class CompoundStep:
             q, s_new, stats = method.kernel_step(k, q, state, tctx)
             new_states.append(s_new)
             if method.generates_stats:
-                all_stats.append(stats)
+                # nested CompoundStep returns a list of stat dicts; keep the
+                # flat structure that parallels the extended stats_dtypes
+                if isinstance(stats, list):
+                    all_stats.extend(stats)
+                else:
+                    all_stats.append(stats)
         return q, tuple(new_states), all_stats
 
     # -- host-side single-draw API ------------------------------------------

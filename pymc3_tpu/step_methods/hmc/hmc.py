@@ -109,10 +109,16 @@ class HamiltonianMC(GradientSharedStep):
         p0 = diag_random(k_mom, state.pot.inv_stds)
 
         x0 = q[self._sub_idx] if self._partial else q
+        if self._partial:
+            # other steppers moved the context coords since our last call —
+            # the cached logp/grad no longer describe (x0, q): recompute
+            logp0, grad0 = lp_fn(x0)
+        else:
+            logp0, grad0 = state.logp, state.grad
         v0 = var * p0
-        h0 = 0.5 * jnp.dot(p0, v0) - state.logp
-        start = IntegrationState(q=x0, p=p0, v=v0, q_grad=state.grad,
-                                 energy=h0, model_logp=state.logp)
+        h0 = 0.5 * jnp.dot(p0, v0) - logp0
+        start = IntegrationState(q=x0, p=p0, v=v0, q_grad=grad0,
+                                 energy=h0, model_logp=logp0)
 
         # number of leapfrog steps for this trajectory (traced, bounded)
         n_steps = jnp.maximum(
@@ -136,8 +142,8 @@ class HamiltonianMC(GradientSharedStep):
                     < -energy_error)
 
         x_new = jnp.where(accepted, end.q, x0)
-        logp_new = jnp.where(accepted, end.model_logp, state.logp)
-        grad_new = jnp.where(accepted, end.q_grad, state.grad)
+        logp_new = jnp.where(accepted, end.model_logp, logp0)
+        grad_new = jnp.where(accepted, end.q_grad, grad0)
 
         da_new = da_update(state.da, accept_stat,
                            tctx.tune & self.adapt_step_size,

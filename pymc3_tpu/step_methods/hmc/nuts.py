@@ -369,11 +369,17 @@ class NUTS(GradientSharedStep):
         p0 = diag_random(k_mom, state.pot.inv_stds)
 
         x0 = q[self._sub_idx] if self._partial else q
+        if self._partial:
+            # other steppers moved the context coords since our last call —
+            # the cached logp/grad no longer describe (x0, q): recompute
+            logp0, grad0 = lp_fn(x0)
+        else:
+            logp0, grad0 = state.logp, state.grad
         v0 = var * p0
         kinetic = 0.5 * jnp.dot(p0, v0)
-        start = IntegrationState(q=x0, p=p0, v=v0, q_grad=state.grad,
-                                 energy=kinetic - state.logp,
-                                 model_logp=state.logp)
+        start = IntegrationState(q=x0, p=p0, v=v0, q_grad=grad0,
+                                 energy=kinetic - logp0,
+                                 model_logp=logp0)
         h0 = start.energy
 
         early = tctx.tune & (tctx.step_idx < 200)

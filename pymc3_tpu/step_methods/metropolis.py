@@ -170,6 +170,7 @@ class Metropolis(ArrayStepShared):
 
     def kernel_step(self, key, q, state: MetropolisState, tctx: TuneContext):
         q = jnp.asarray(q, floatX())
+        logp0 = self._refresh_logp(q, state.logp)
         k_prop, k_acc = jax.random.split(key)
 
         delta_sub = self.proposal_dist.sample(k_prop, (self.dim,)) \
@@ -184,11 +185,11 @@ class Metropolis(ArrayStepShared):
             q_prop = q + delta
 
         logp_prop = self._logp_fn(q_prop)
-        mr = logp_prop - state.logp
+        mr = logp_prop - logp0
         mr = jnp.where(jnp.isnan(mr), -jnp.inf, mr)
         accepted = jnp.log(jax.random.uniform(k_acc, (), floatX())) < mr
         q_new = jnp.where(accepted, q_prop, q)
-        logp_new = jnp.where(accepted, logp_prop, state.logp)
+        logp_new = jnp.where(accepted, logp_prop, logp0)
 
         # scale tuning every tune_interval draws during warmup
         since = state.since_tune + 1
@@ -254,12 +255,13 @@ class BinaryMetropolis(ArrayStepShared):
         sub = q[self._sub_idx]
         sub_prop = jnp.where(flips, 1.0 - sub, sub)
         q_prop = q.at[self._sub_idx].set(sub_prop)
+        logp0 = self._refresh_logp(q, state.logp)
         logp_prop = self._logp_fn(q_prop)
-        mr = logp_prop - state.logp
+        mr = logp_prop - logp0
         mr = jnp.where(jnp.isnan(mr), -jnp.inf, mr)
         accepted = jnp.log(jax.random.uniform(k_acc, (), floatX())) < mr
         q_new = jnp.where(accepted, q_prop, q)
-        logp_new = jnp.where(accepted, logp_prop, state.logp)
+        logp_new = jnp.where(accepted, logp_prop, logp0)
         stats = {
             "accept": jnp.exp(jnp.minimum(mr, 0.0)),
             "tune": tctx.tune,
@@ -324,7 +326,7 @@ class BinaryGibbsMetropolis(ArrayStepShared):
             return (q, logp, key), None
 
         (q_new, logp_new, _), _ = jax.lax.scan(
-            body, (q, state.logp, k_scan), order)
+            body, (q, self._refresh_logp(q, state.logp), k_scan), order)
         return q_new, BinaryState(logp_new), {"tune": tctx.tune}
 
     @staticmethod
@@ -399,12 +401,12 @@ class CategoricalGibbsMetropolis(ArrayStepShared):
             return (q, logp, key), None
 
         (q_new, logp_new, _), _ = jax.lax.scan(
-            body, (q, state.logp, k_scan), order)
+            body, (q, self._refresh_logp(q, state.logp), k_scan), order)
         return q_new, BinaryState(logp_new), {"tune": tctx.tune}
 
     @staticmethod
     def competence(var, has_grad=False):
-        dist = getattr(var, "distribution", None)
+        dist = _effective_dist(var)
         if type(dist).__name__ == "Categorical":
             k = getattr(dist, "k", None)
             try:
@@ -418,8 +420,16 @@ class CategoricalGibbsMetropolis(ArrayStepShared):
         return Competence.INCOMPATIBLE
 
 
+def _effective_dist(var_or_dist):
+    """The distribution that determines sampler competence — imputation
+    placeholders (NoDistribution, model.py:278) defer to their parent."""
+    dist = getattr(var_or_dist, "distribution", var_or_dist)
+    parent = getattr(dist, "parent_dist", None)
+    return parent if parent is not None else dist
+
+
 def _is_binary(var):
-    dist = getattr(var, "distribution", None)
+    dist = _effective_dist(var)
     return type(dist).__name__ == "Bernoulli" or \
         (type(dist).__name__ == "Categorical" and
          _cat_k(dist) == 2)
@@ -512,13 +522,14 @@ class DEMetropolis(ArrayStepShared):
         mask = jnp.zeros(Q.shape[-1], floatX()).at[self._sub_idx].set(1.0)
         Q_prop = Q + delta * mask
 
+        logp0 = jax.vmap(self._logp_fn)(Q) if self.is_partial else state.logp
         logp_prop = jax.vmap(self._logp_fn)(Q_prop)
-        mr = logp_prop - state.logp
+        mr = logp_prop - logp0
         mr = jnp.where(jnp.isnan(mr), -jnp.inf, mr)
         u = jax.random.uniform(k_acc, (nchains,), floatX())
         accepted = jnp.log(u) < mr
         Q_new = jnp.where(accepted[:, None], Q_prop, Q)
-        logp_new = jnp.where(accepted, logp_prop, state.logp)
+        logp_new = jnp.where(accepted, logp_prop, logp0)
 
         since = state.since_tune + 1
         acc_sum = state.accept_sum + jnp.mean(accepted.astype(floatX()))
@@ -624,12 +635,13 @@ class DEMetropolisZ(ArrayStepShared):
         mask = jnp.zeros(q.shape[-1], floatX()).at[self._sub_idx].set(1.0)
         q_prop = q + delta * mask
 
+        logp0 = self._refresh_logp(q, state.logp)
         logp_prop = self._logp_fn(q_prop)
-        mr = logp_prop - state.logp
+        mr = logp_prop - logp0
         mr = jnp.where(jnp.isnan(mr), -jnp.inf, mr)
         accepted = jnp.log(jax.random.uniform(k_acc, (), floatX())) < mr
         q_new = jnp.where(accepted, q_prop, q)
-        logp_new = jnp.where(accepted, logp_prop, state.logp)
+        logp_new = jnp.where(accepted, logp_prop, logp0)
 
         # record into ring buffer
         slot = state.hist_len % self.capacity

@@ -42,7 +42,9 @@ class BaseStochasticGradient(ArrayStepShared):
             vars = model.cont_vars
         self._setup_vars(vars, model)
         self.step_size_base = float(step_size)
-        self._logp_fn = model.make_logp_fn()
+        # (q, key) -> logp with the key threaded to Minibatch nodes, so the
+        # gradient below is the unbiased minibatch estimate (model.py:593)
+        self._logp_fn = model.make_logp_fn(with_rng=True)
         self._sub_idx = jnp.asarray(self.q_indices, jnp.int32)
 
     def kernel_init(self, q0):
@@ -60,7 +62,7 @@ class BaseStochasticGradient(ArrayStepShared):
         q = jnp.asarray(q, floatX())
         k_mb, k_noise = jax.random.split(key)
         # minibatch selection rides the env RNG key (pymc3_tpu.data)
-        grad = jax.grad(self._logp_fn)(q)
+        grad = jax.grad(self._logp_fn)(q, k_mb)
         eps = self._step_size(state.step_count)
         delta = self._delta(grad, eps, k_noise)
         mask = jnp.zeros(q.shape[-1], floatX()).at[self._sub_idx].set(1.0)

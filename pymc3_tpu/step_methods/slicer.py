@@ -132,7 +132,8 @@ class Slice(ArrayStepShared):
             return (q, logp, w_all, key), (nl + nr, n_in)
 
         (q_new, logp_new, w_new, _), (n_out, n_in) = lax.scan(
-            coord_update, (q, state.logp, state.w, k_scan),
+            coord_update,
+            (q, self._refresh_logp(q, state.logp), state.w, k_scan),
             jnp.arange(self.dim, dtype=jnp.int32))
 
         stats = {

@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Secondary benchmark suite: the remaining reference asv analogs
+(cf. ``/root/reference/benchmarks/benchmarks/benchmarks.py``):
+
+  best      — BEST two-group StudentT drug evaluation (``:99-137``)
+  mixture   — 3-component marginal NormalMixture, worst-case ESS (``:171-183``)
+  ode       — 1-state 2-param freefall ODE (``:214-263``)
+
+Each prints one JSON line {suite, ess_per_sec, ...}. ``bench.py`` remains
+the single metric of record (radon ESS/s/chip).
+
+Usage: python scripts/bench_suite.py [best|mixture|ode ...]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+DRUG = np.array([101, 100, 102, 104, 102, 97, 105, 105, 98, 101,
+                 100, 123, 105, 103, 100, 95, 102, 106, 109, 102, 82,
+                 102, 100, 102, 102, 101, 102, 102, 103, 103, 97, 97,
+                 103, 101, 97, 104, 96, 103, 124, 101, 101, 100, 101,
+                 101, 104, 100, 101], dtype=np.float64)
+PLACEBO = np.array([99, 101, 100, 101, 102, 100, 97, 101, 104, 101,
+                    102, 102, 100, 105, 88, 101, 100, 104, 100, 100,
+                    100, 101, 102, 103, 97, 101, 101, 100, 101, 99,
+                    101, 100, 100, 101, 100, 99, 101, 100, 102, 99,
+                    100, 99], dtype=np.float64)
+
+
+def best_model(pm):
+    """BEST two-group comparison (benchmarks.py:99-137)."""
+    y = np.r_[DRUG, PLACEBO]
+    y_mean, y_std = y.mean(), y.std() * 2
+    with pm.Model() as model:
+        g1_mean = pm.Normal("group1_mean", y_mean, sigma=y_std)
+        g2_mean = pm.Normal("group2_mean", y_mean, sigma=y_std)
+        g1_std = pm.Uniform("group1_std", lower=1, upper=10)
+        g2_std = pm.Uniform("group2_std", lower=1, upper=10)
+        nu = pm.Exponential("nu_minus_one", 1 / 29.0) + 1
+        pm.StudentT("drug", nu=nu, mu=g1_mean, lam=g1_std ** -2,
+                    observed=DRUG)
+        pm.StudentT("placebo", nu=nu, mu=g2_mean, lam=g2_std ** -2,
+                    observed=PLACEBO)
+        diff = pm.Deterministic("difference_of_means", g1_mean - g2_mean)
+        pm.Deterministic("difference_of_stds", g1_std - g2_std)
+        pm.Deterministic(
+            "effect_size",
+            diff / pm.math.sqrt((g1_std ** 2 + g2_std ** 2) / 2))
+    return model, ["difference_of_means"]
+
+
+def mixture_model(pm):
+    """3-component marginal mixture (benchmarks.py:48-72)."""
+    rng = np.random.RandomState(1234)
+    size = 1000
+    w_true = np.array([0.35, 0.4, 0.25])
+    mu_true = np.array([0.0, 2.0, 5.0])
+    sigma = np.array([0.5, 0.5, 1.0])
+    component = rng.choice(mu_true.size, size=size, p=w_true)
+    x = rng.normal(mu_true[component], sigma[component], size=size)
+
+    from pymc3_tpu.node import apply as node_apply
+    import jax.numpy as jnp
+
+    with pm.Model() as model:
+        w = pm.Dirichlet("w", a=np.ones_like(w_true))
+        mu = pm.Normal("mu", mu=0.0, sigma=10.0, shape=3,
+                       testval=mu_true.copy())
+        pm.Potential("enforce_order", node_apply(
+            lambda m: jnp.where(m[0] <= m[1], 0.0, -np.inf)
+            + jnp.where(m[1] <= m[2], 0.0, -np.inf), mu))
+        tau = pm.Gamma("tau", alpha=1.0, beta=1.0, shape=3,
+                       testval=1.0 / sigma ** 2)
+        pm.NormalMixture("x_obs", w=w, mu=mu, tau=tau, observed=x)
+    return model, ["mu"]
+
+
+def ode_model(pm):
+    """1-state 2-param freefall ODE (benchmarks.py:214-263)."""
+    def freefall(y, t, p):
+        return 2.0 * p[1] - p[0] * y[0]
+
+    times = np.arange(0, 10, 0.5)
+    y_obs = np.array([-2.01, 9.49, 15.58, 16.57, 27.58, 32.26, 35.13,
+                      38.07, 37.36, 38.83, 44.86, 43.58, 44.59, 42.75,
+                      46.9, 49.32, 44.06, 49.86, 46.48, 48.18]).reshape(-1, 1)
+    ode = pm.ode.DifferentialEquation(func=freefall, times=times,
+                                      n_states=1, n_theta=2, t0=0)
+    with pm.Model() as model:
+        sigma = pm.HalfCauchy("sigma", 1)
+        gamma = pm.Lognormal("gamma", 0, 1)
+        sol = ode(y0=[0], theta=[gamma, 9.8])
+        pm.Normal("Y", mu=sol, sigma=sigma, observed=y_obs)
+    return model, ["sigma", "gamma"]
+
+
+SUITES = {
+    "best": (best_model, dict(draws=20000, tune=1000, chains=4)),
+    "mixture": (mixture_model, dict(draws=2000, tune=1000, chains=4)),
+    "ode": (ode_model, dict(draws=500, tune=1000, chains=2)),
+}
+
+
+def main():
+    import jax
+    import pymc3_tpu as pm
+    from pymc3_tpu.config import enable_compilation_cache
+    enable_compilation_cache("bench")
+
+    names = sys.argv[1:] or list(SUITES)
+    for name in names:
+        build, cfg = SUITES[name]
+        cfg = dict(cfg)
+        chains = int(os.environ.get("SUITE_CHAINS", cfg["chains"]))
+        cfg["chains"] = chains
+        model, ess_vars = build(pm)
+        with model:
+            # compile pass, then the measured pass
+            pm.sample(model=model, progressbar=False, random_seed=1,
+                      compute_convergence_checks=False, **cfg)
+            t0 = time.time()
+            trace = pm.sample(model=model, progressbar=False, random_seed=2,
+                              compute_convergence_checks=False, **cfg)
+            wall = time.time() - t0
+        ess_tbl = pm.ess(trace, var_names=ess_vars)
+        # worst-case (min) ESS across the tracked vars, per reference
+        ess = float(min(np.min(np.asarray(ess_tbl[v])) for v in ess_vars))
+        rhat_tbl = pm.rhat(trace, var_names=ess_vars)
+        rhat = float(max(np.max(np.asarray(rhat_tbl[v])) for v in ess_vars))
+        print(json.dumps({
+            "suite": name, "ess_per_sec": round(ess / wall, 2),
+            "ess_min": round(ess, 1), "wall_s": round(wall, 2),
+            "rhat_max": round(rhat, 4), **cfg,
+            "backend": jax.default_backend(),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -158,3 +158,48 @@ class TestCategoricalGibbs:
         vals = trace["c"].astype(int)
         freq = np.bincount(vals, minlength=3) / len(vals)
         np.testing.assert_allclose(freq, p, atol=0.07)
+
+
+class TestSGLD:
+    def test_minibatch_posterior_mean(self):
+        """SGLD with a Minibatch likelihood converges to the conjugate
+        posterior mean of a Normal location model (the minibatch dlogp is
+        threaded through the env RNG key, sgmcmc.py:46)."""
+        from pymc3_tpu.step_methods.sgmcmc import SGLD
+
+        rng = np.random.RandomState(0)
+        data = (1.5 + 0.5 * rng.randn(4000)).astype("float32")
+        with pm.Model() as model:
+            mb = pm.Minibatch(data, batch_size=200)
+            mu = pm.Normal("mu", 0.0, 10.0)
+            pm.Normal("obs", mu=mu, sigma=0.5, observed=mb,
+                      total_size=len(data))
+            step = SGLD(vars=[mu], step_size=1e-3, model=model)
+            trace = pm.sample(draws=3000, tune=500, chains=1, step=step,
+                              init=None, progressbar=False, random_seed=1,
+                              compute_convergence_checks=False)
+        mu_hat = float(np.mean(trace["mu"][1000:]))
+        assert abs(mu_hat - 1.5) < 0.15, mu_hat
+
+
+class TestCompoundStateConsistency:
+    def test_no_stale_logp_divergences(self):
+        """Under CompoundStep each stepper owns a subset of q; cached
+        logp/grad must be refreshed after other steppers move q
+        (arraystep._refresh_logp). A stale Hamiltonian shows up as ~100%
+        divergences; correct refresh gives an essentially divergence-free
+        mixed NUTS+BinaryGibbs run."""
+        rng = np.random.RandomState(3)
+        z_true = rng.binomial(1, 0.4, 50).astype("float64")
+        y = 2.0 * z_true + 0.5 * rng.randn(50)
+        with pm.Model() as m:
+            p = pm.Beta("p", 1.0, 1.0)
+            z = pm.Bernoulli("z", p, shape=50, testval=z_true)
+            mu = pm.Normal("mu", 0.0, 5.0)
+            pm.Normal("y", mu * z, 0.5, observed=y)
+            trace = pm.sample(draws=400, tune=600, chains=2,
+                              progressbar=False, random_seed=1,
+                              compute_convergence_checks=False)
+        ndiv = int(np.sum(np.asarray(trace.get_sampler_stats("diverging"))))
+        assert ndiv < 8, f"{ndiv} divergences: stale compound kernel state"
+        assert abs(float(np.mean(trace["mu"])) - 2.0) < 0.2
