@@ -69,6 +69,7 @@ from .backends.ndarray import (
     NDArray, save_trace, load_trace, point_list_to_multitrace,
 )
 from .backends.tracetab import trace_to_dataframe
+from .backends.inferencedata import InferenceData, to_inference_data
 from .backends.report import SamplerReport, SamplerWarning, WarningType
 from .sampling import (
     sample, iter_sample, init_nuts, sample_prior_predictive,

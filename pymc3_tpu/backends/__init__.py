@@ -17,11 +17,12 @@ from .text import Text
 from .sqlite import SQLite
 from .hdf5 import HDF5
 from .tracetab import trace_to_dataframe
+from .inferencedata import InferenceData, to_inference_data
 
 __all__ = [
     "BaseTrace", "MultiTrace", "merge_traces", "NDArray", "Text", "SQLite",
     "HDF5", "save_trace", "load_trace", "point_list_to_multitrace",
-    "trace_to_dataframe",
+    "trace_to_dataframe", "InferenceData", "to_inference_data",
 ]
 
 _shortcuts = {

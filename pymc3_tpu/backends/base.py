@@ -242,42 +242,51 @@ class MultiTrace:
         return names
 
     def add_values(self, vals, overwrite=False) -> None:
-        """Add variables to traces (cf. ``base.py:392``)."""
-        for k, v in vals.items():
-            new_var = True
-            if k in self.varnames:
-                if overwrite:
-                    self.varnames.remove(k)
-                    new_var = False
-                else:
-                    raise ValueError(f"Variable name {k} already exists.")
-            self.varnames.append(k)
+        """Attach derived per-draw series to every chain (API parity with
+        the reference's ``MultiTrace.add_values``, ``base.py:394``).
 
-            chains = self._straces
-            l_samples = len(self) * len(self.chains)
-            l_v = len(v)
-            if l_v != l_samples:
-                warnings.warn("The length of the values you are trying to "
-                              "set does not match the number of samples.")
-            v = np.squeeze(np.asarray(v).reshape(len(chains), len(self), -1))
+        Each value is read in the layout ``get_values(combine=True)``
+        produces — the chain-major concatenation of
+        ``nchains * len(self)`` rows — and split back into per-chain
+        blocks stored on each chain's backend.
+        """
+        n_draws = len(self)
+        for name, series in vals.items():
+            exists = name in self.varnames
+            if exists and not overwrite:
+                raise ValueError(f"Variable name {name} already exists.")
+            arr = np.asarray(series)
+            expected = n_draws * self.nchains
+            n_rows = arr.shape[0] if arr.ndim else 0
+            if n_rows != expected:
+                warnings.warn(
+                    f"add_values: {name!r} has {n_rows} rows but the trace "
+                    f"holds {expected} (chains * iterations).")
+            table = arr.reshape((self.nchains, n_draws, -1))
+            if table.shape[-1] == 1:
+                table = table[..., 0]
+            for cid, block in zip(self.chains, table):
+                strace = self._straces[cid]
+                if not hasattr(strace, "samples"):
+                    raise BackendError(
+                        f"{type(strace).__name__} does not support "
+                        "post-hoc add_values")
+                strace.samples[name] = block
+                if name not in strace.varnames:
+                    strace.varnames.append(name)
 
-            for idx, chain in enumerate(chains.values()):
-                if new_var:
-                    dummy = np.full(len(self), np.nan)
-                    chain.samples[k] = dummy
-                chain.samples[k] = v[idx]
-
-    def remove_values(self, name):
-        """Remove a variable from the trace (cf. ``base.py:448``)."""
-        varnames = self.varnames
-        if name not in varnames:
+    def remove_values(self, name) -> None:
+        """Drop a variable from every chain (API parity with the
+        reference's ``MultiTrace.remove_values``, ``base.py:448``)."""
+        if name not in self.varnames:
             raise KeyError(f"Unknown variable {name}")
-        self.varnames.remove(name)
-        for chain in self._straces.values():
-            for va in chain.vars:
-                if get_var_name(va) == name:
-                    chain.vars.remove(va)
-            del chain.samples[name]
+        for strace in self._straces.values():
+            strace.vars = [v for v in strace.vars
+                           if get_var_name(v) != name]
+            if name in strace.varnames:
+                strace.varnames.remove(name)
+            if hasattr(strace, "samples"):
+                strace.samples.pop(name, None)
 
     def _chain_list(self, chains):
         """Normalize a chains argument to a list of chain ids."""
@@ -293,7 +302,7 @@ class MultiTrace:
         name = get_var_name(varname)
         per_chain = [self._straces[c].get_values(name, burn, thin)
                      for c in self._chain_list(chains)]
-        return _squeeze_cat(per_chain, combine, squeeze)
+        return _gather(per_chain, combine, squeeze)
 
     def get_sampler_stats(self, stat_name, burn=0, thin=1, combine=True,
                           chains=None, squeeze=True):
@@ -303,7 +312,7 @@ class MultiTrace:
         per_chain = [self._straces[c].get_sampler_stats(stat_name, None,
                                                         burn, thin)
                      for c in self._chain_list(chains)]
-        return _squeeze_cat(per_chain, combine, squeeze)
+        return _gather(per_chain, combine, squeeze)
 
     def _slice(self, slice_):
         """Return a new MultiTrace object sliced according to ``slice_``."""
@@ -345,14 +354,14 @@ def merge_traces(mtraces: List[MultiTrace]) -> MultiTrace:
     return base_mtrace
 
 
-def _squeeze_cat(results, combine, squeeze):
-    """Squeeze and/or concatenate the results (cf. ``base.py:595``)."""
-    results = [np.asarray(v) for v in results]
+def _gather(per_chain, combine, squeeze):
+    """Assemble per-chain arrays into the user-requested layout: one
+    concatenated array (``combine``), the bare array for a lone chain
+    (``squeeze``), or the per-chain list itself."""
+    arrays = [np.asarray(a) for a in per_chain]
     if combine:
-        results = np.concatenate(results)
-        if not squeeze:
-            results = [results]
-    else:
-        if squeeze and len(results) == 1:
-            results = results[0]
-    return results
+        cat = np.concatenate(arrays)
+        return cat if squeeze else [cat]
+    if squeeze and len(arrays) == 1:
+        return arrays[0]
+    return arrays

@@ -124,7 +124,13 @@ def shard_block_fn(chain_block: Callable, devices: Optional[Sequence] = None,
 
 
 def pooled_axes(axis_name: Optional[str] = None):
-    """Axis names tuple for cross-chain collectives inside kernels."""
-    if axis_name is None:
+    """Axis names for cross-chain collectives inside kernels.
+
+    In a mesh-sharded run the configured ``axis_name`` is the mesh axis,
+    but the device-local chains are additionally vmapped under
+    ``LOCAL_CHAIN_AXIS`` — collectives must reduce over BOTH so every chain
+    on every device shares the pooled statistic. In a single-device run the
+    configured axis IS the vmap axis; return it alone."""
+    if axis_name is None or axis_name == LOCAL_CHAIN_AXIS:
         return LOCAL_CHAIN_AXIS
     return (LOCAL_CHAIN_AXIS, axis_name)

@@ -387,6 +387,15 @@ def _device_sample(model, step, q0, draws, tune, random_seed, progressbar,
 
     population_based = getattr(step, "population_based", False)
     tune_arr = jnp.asarray(tune, jnp.int32)
+    total_arr = jnp.asarray(total, jnp.int32)
+
+    def _mask_padding(idx, new, old):
+        """Freeze carry updates for the equalize-blocks padding steps past
+        ``total`` so the checkpointed final_state (and every chain's RNG)
+        corresponds exactly to draw ``total`` (ADVICE r2)."""
+        active = idx < total_arr
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(active, a, b), new, old)
 
     if population_based:
         # population methods step the whole (chains, dim) block at once
@@ -395,10 +404,11 @@ def _device_sample(model, step, q0, draws, tune, random_seed, progressbar,
         def run_block(carry, idxs):
             def one_step(c, idx):
                 k, Q, st = c
-                k, sub = jax.random.split(k)
+                k2, sub = jax.random.split(k)
                 tctx = TuneContext(idx < tune_arr, idx, tune)
-                Q, st, stats = step.population_kernel_step(sub, Q, st, tctx)
-                return (k, Q, st), (jax.vmap(decode)(Q), stats)
+                Q2, st2, stats = step.population_kernel_step(sub, Q, st, tctx)
+                new_c = _mask_padding(idx, (k2, Q2, st2), c)
+                return new_c, (jax.vmap(decode)(Q2), stats)
             return jax.lax.scan(one_step, carry, idxs)
 
         run_block = jax.jit(run_block)
@@ -409,10 +419,11 @@ def _device_sample(model, step, q0, draws, tune, random_seed, progressbar,
         def chain_block(carry, idxs):
             def one_step(c, idx):
                 k, q, st = c
-                k, sub = jax.random.split(k)
+                k2, sub = jax.random.split(k)
                 tctx = TuneContext(idx < tune_arr, idx, tune)
-                q, st, stats = step.kernel_step(sub, q, st, tctx)
-                return (k, q, st), (decode(q), stats)
+                q2, st2, stats = step.kernel_step(sub, q, st, tctx)
+                new_c = _mask_padding(idx, (k2, q2, st2), c)
+                return new_c, (decode(q2), stats)
             return jax.lax.scan(one_step, carry, idxs)
 
         if (axis_name not in (None, LOCAL_CHAIN_AXIS)) or devices is not None:
@@ -436,38 +447,56 @@ def _device_sample(model, step, q0, draws, tune, random_seed, progressbar,
     carry = init_carry
     pending = None  # (start_idx, device vals, device stats)
 
+    drained = set()  # block start indices already committed to host
+
     def _drain(start, vals, stats):
-        """Move one block's kept slice to host (blocks until ready)."""
+        """Move one block's kept slice to host (blocks until ready).
+
+        Idempotent and interrupt-safe: every device->host transfer (where
+        the host spends its time blocking) completes BEFORE any host list
+        mutates, and an already-drained block is never re-appended — so the
+        KeyboardInterrupt handler can safely re-call this on the pending
+        block without double-counting chunks (ADVICE r2)."""
         nonlocal host_stats, completed
+        if start in drained:
+            return
         lo = max(keep_from, start)
         hi = min(start + block, total)
         if hi > lo:
             a, b = lo - start, hi - start
             sl = (slice(None), slice(a, b)) if time_axis == 1 \
                 else (slice(a, b),)
-            for name in varnames:
-                arr = np.asarray(vals[name][sl])
+
+            def to_host(x):
+                arr = np.asarray(x[sl])
                 if time_axis == 0:
                     arr = np.moveaxis(arr, 0, 1)
-                host_vals[name].append(arr)
+                return arr
+
+            # interruptible phase: materialize everything on host first
+            new_vals = {name: to_host(vals[name]) for name in varnames}
             if isinstance(step, CompoundStep):
                 stats_list = stats
             else:
                 stats_list = [stats] if step.generates_stats else []
+            new_stats = [{k: to_host(v) for k, v in s.items()}
+                         for s in stats_list]
+            # commit phase: pure list appends, marked done up front
+            drained.add(start)
+            for name in varnames:
+                host_vals[name].append(new_vals[name])
             if host_stats is None:
-                host_stats = [defaultdict(list) for _ in stats_list]
-            for acc, s in zip(host_stats, stats_list):
+                host_stats = [defaultdict(list) for _ in new_stats]
+            for acc, s in zip(host_stats, new_stats):
                 for k, v in s.items():
-                    arr = np.asarray(v[sl])
-                    if time_axis == 0:
-                        arr = np.moveaxis(arr, 0, 1)
-                    acc[k].append(arr)
+                    acc[k].append(v)
                     if k == "diverging":
-                        progress.divergences += int(arr.sum())
+                        progress.divergences += int(v.sum())
         else:
             # block entirely inside discarded warmup: just sync
             jax.block_until_ready(stats if stats else vals)
-        completed = min(start + block, total)
+            drained.add(start)
+        completed = max(completed, min(start + block, total))
         progress.update(completed)
 
     try:
@@ -494,6 +523,22 @@ def _device_sample(model, step, q0, draws, tune, random_seed, progressbar,
                 _drain(*pending)
             except KeyboardInterrupt:
                 pass
+        # A mid-commit interrupt can leave unequal chunk counts across
+        # series; truncate everything to the common prefix so concatenated
+        # chains stay draw-aligned.
+        counts = [len(v) for v in host_vals.values()]
+        for acc in (host_stats or []):
+            counts.extend(len(v) for v in acc.values())
+        if counts:
+            n_chunks = min(counts)
+            for name in varnames:
+                del host_vals[name][n_chunks:]
+            for acc in (host_stats or []):
+                for k in acc:
+                    del acc[k][n_chunks:]
+            if varnames and host_vals[varnames[0]]:
+                kept = sum(c.shape[1] for c in host_vals[varnames[0]])
+                completed = min(completed, keep_from + kept)
 
     def _cat(chunks):
         if not chunks:

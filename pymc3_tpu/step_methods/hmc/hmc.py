@@ -149,10 +149,14 @@ class HamiltonianMC(GradientSharedStep):
                            tctx.tune & self.adapt_step_size,
                            target=self.target_accept, gamma=self.gamma,
                            k=self.k, t0=self.t0)
+        pool = None
+        if self.axis_name is not None:
+            from ...parallel import pooled_axes
+            pool = pooled_axes(self.axis_name)
         pot_new = diag_adapt_update(
             state.pot, x_new, tctx.tune,
             adaptation_window=getattr(self.potential, "adaptation_window", 101),
-            axis_name=self.axis_name) \
+            axis_name=pool) \
             if getattr(self.potential, "adapts", False) else state.pot
 
         q_new = q.at[self._sub_idx].set(x_new) if self._partial else x_new

@@ -401,8 +401,14 @@ class NUTS(GradientSharedStep):
         # On lockstep SPMD hardware this also equalizes tree depths across
         # vmap lanes, cutting the max-over-chains cost of each draw.
         da_accept = mean_accept
+        pool = None
         if self.axis_name is not None:
-            da_accept = jax.lax.pmean(mean_accept, self.axis_name)
+            # In a mesh-sharded run the chains on each device are vmapped
+            # under LOCAL_CHAIN_AXIS inside the shard_map over the mesh
+            # axis — pool over both so every chain everywhere shares eps.
+            from ...parallel import pooled_axes
+            pool = pooled_axes(self.axis_name)
+            da_accept = jax.lax.pmean(mean_accept, pool)
 
         da_new = da_update(state.da, da_accept,
                            tctx.tune & self.adapt_step_size,
@@ -411,7 +417,7 @@ class NUTS(GradientSharedStep):
         pot_new = diag_adapt_update(
             state.pot, tree.prop.q, tctx.tune,
             adaptation_window=getattr(self.potential, "adaptation_window", 101),
-            axis_name=self.axis_name) \
+            axis_name=pool) \
             if getattr(self.potential, "adapts", False) else state.pot
 
         q_new = q.at[self._sub_idx].set(tree.prop.q) if self._partial \

@@ -126,3 +126,46 @@ class TestTraceToDataframe:
         # so compute the expectation from the trace itself
         assert df.shape[0] == len(trace) * trace.nchains
         assert any(c.startswith("x") for c in df.columns)
+
+
+class TestAddRemoveValues:
+    """Post-hoc derived series on MultiTrace (reference API parity:
+    ``pymc3/backends/base.py:394-458``)."""
+
+    def test_roundtrip(self, sampled):
+        _, trace = sampled
+        n = len(trace) * trace.nchains
+        series = np.arange(n, dtype=float)
+        trace.add_values({"derived": series})
+        assert "derived" in trace.varnames
+        np.testing.assert_allclose(
+            trace.get_values("derived", combine=True), series)
+        per_chain = trace.get_values("derived", combine=False)
+        assert len(per_chain) == trace.nchains
+        assert per_chain[1][0] == len(trace)
+        trace.remove_values("derived")
+
+    def test_overwrite_guard(self, sampled):
+        _, trace = sampled
+        n = len(trace) * trace.nchains
+        trace.add_values({"v2": np.zeros(n)})
+        with pytest.raises(ValueError):
+            trace.add_values({"v2": np.ones(n)})
+        trace.add_values({"v2": np.ones(n)}, overwrite=True)
+        assert trace.get_values("v2", combine=True).min() == 1.0
+        trace.remove_values("v2")
+
+    def test_remove(self, sampled):
+        _, trace = sampled
+        n = len(trace) * trace.nchains
+        trace.add_values({"tmp": np.zeros(n)})
+        trace.remove_values("tmp")
+        assert "tmp" not in trace.varnames
+        with pytest.raises(KeyError):
+            trace.remove_values("tmp")
+
+    def test_length_mismatch_warns(self, sampled):
+        _, trace = sampled
+        with pytest.warns(UserWarning, match="rows"):
+            with pytest.raises(ValueError):
+                trace.add_values({"bad": np.zeros(7)})

@@ -74,3 +74,33 @@ def test_nonfinite_logp_attribution():
 class _FakeStep:
     generates_stats = True
     stats_dtypes = [{"model_logp": np.float64, "diverging": bool}]
+
+
+def test_log_likelihood_group_and_dims():
+    """idata_kwargs plumbing: log_likelihood is computed pointwise on
+    device, coords/dims flow through (ADVICE r2)."""
+    import scipy.stats as st
+
+    obs = np.array([0.1, -0.3, 0.5])
+    with pm.Model(coords={"unit": np.array(["u0", "u1", "u2"])}) as m:
+        mu = pm.Normal("mu", 0.0, 1.0)
+        pm.Normal("obs", mu=mu, sigma=1.0, observed=obs)
+        tr = pm.sample(draws=40, tune=40, chains=2, progressbar=False,
+                       random_seed=2, compute_convergence_checks=False)
+    idata = pm.to_inference_data(tr, model=m, log_likelihood=True,
+                                 dims={"obs": ["unit"]})
+    assert "log_likelihood" in idata.groups()
+    ll = np.asarray(idata.log_likelihood["obs"])
+    assert ll.shape == (2, 40, 3)
+    pt = tr.point(0, chain=tr.chains[0])
+    np.testing.assert_allclose(ll[0, 0],
+                               st.norm.logpdf(obs, pt["mu"], 1.0),
+                               atol=1e-4)
+
+
+def test_unknown_idata_kwargs_raise():
+    m = small_model()
+    tr = pm.sample(draws=20, tune=20, chains=1, model=m, progressbar=False,
+                   random_seed=1, compute_convergence_checks=False)
+    with pytest.raises(TypeError, match="idata_kwargs"):
+        pm.to_inference_data(tr, model=m, not_an_option=True)

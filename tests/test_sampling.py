@@ -160,3 +160,59 @@ class TestIterSample:
                                          random_seed=1))
         assert len(traces) == 20
         assert len(traces[-1]) == 20
+
+
+class TestIterSample:
+    """Sequential host-path generator (cf. ``iter_sample``,
+    ``pymc3/sampling.py:581`` — cumulative-trace semantics)."""
+
+    def test_cumulative_nuts(self):
+        start, model, _ = models.simple_model()
+        with model:
+            step = pm.NUTS()
+            lengths = []
+            last = None
+            for i, trace in enumerate(pm.iter_sample(
+                    8, step, start=start, tune=2, random_seed=11)):
+                lengths.append(len(trace))
+                last = trace
+                if i >= 7:
+                    break
+            assert lengths == list(range(1, 9))
+            assert last["x"].shape == (8, 2)
+            # sampler stats recorded on the host path too
+            assert "diverging" in last.stat_names
+
+    def test_cumulative_compound(self):
+        with pm.Model() as model:
+            pm.Normal("x", 0, 1)
+            pm.Bernoulli("z", 0.6)
+            steps = pm.sampling.assign_step_methods(model, None)
+            step = pm.CompoundStep(steps) if isinstance(steps, list) else steps
+            traces = list(pm.iter_sample(5, step, tune=1, random_seed=5))
+        assert len(traces) == 5
+        assert len(traces[-1]) == 5
+        zvals = traces[-1]["z"]
+        assert set(np.unique(zvals)).issubset({0, 1})
+
+
+class TestBlockPadding:
+    """The equalize-blocks padding steps past ``total`` must not advance
+    kernel state or RNG (ADVICE r2, ``sampling.py`` _mask_padding)."""
+
+    def test_final_state_invariant_to_block_size(self):
+        start, model, _ = models.simple_model()
+        common = dict(draws=60, tune=40, chains=2, model=model,
+                      progressbar=False, random_seed=3,
+                      compute_convergence_checks=False)
+        t_pad = pm.sample(block_size=64, **common)    # 100 = 64 + 36pad
+        t_exact = pm.sample(block_size=100, **common)  # one exact block
+        np.testing.assert_allclose(
+            t_pad.get_values("x", combine=True),
+            t_exact.get_values("x", combine=True), atol=1e-5)
+        w_pad = t_pad._straces[0].warmup_state
+        w_exact = t_exact._straces[0].warmup_state
+        assert w_pad is not None and w_exact is not None
+        for k in w_pad:
+            np.testing.assert_allclose(w_pad[k], w_exact[k], atol=1e-5,
+                                       err_msg=k)
