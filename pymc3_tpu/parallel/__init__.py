@@ -131,6 +131,12 @@ def pooled_axes(axis_name: Optional[str] = None):
     ``LOCAL_CHAIN_AXIS`` — collectives must reduce over BOTH so every chain
     on every device shares the pooled statistic. In a single-device run the
     configured axis IS the vmap axis; return it alone."""
-    if axis_name is None or axis_name == LOCAL_CHAIN_AXIS:
+    if axis_name is None:
         return LOCAL_CHAIN_AXIS
-    return (LOCAL_CHAIN_AXIS, axis_name)
+    names = axis_name if isinstance(axis_name, (tuple, list)) \
+        else (axis_name,)
+    out = [LOCAL_CHAIN_AXIS]
+    for n in names:
+        if n not in out:
+            out.append(n)
+    return out[0] if len(out) == 1 else tuple(out)

@@ -1,27 +1,39 @@
 """Sequential Monte Carlo kernel (cf. ``pymc3/smc/smc.py``).
 
-Tempered-posterior SMC: particles live as ONE ``(draws, dim)`` device array
-(the reference farms logp evaluation and mutation to an ``mp.Pool``,
-``smc/smc.py:156-272``; here both are a ``vmap`` over the particle axis, and
-the mutation chain is a jitted ``lax.scan``). β-bisection targets
-ESS = threshold·N (``update_weights_beta``, ``smc.py:169``); systematic
-resampling; independent-MH mutation with an MVN proposal built from the
-particle covariance (``update_proposal``, ``smc.py:215``); scaling/n_steps
-tuned to acceptance 0.234 (``tune``, ``smc.py:226``).
+Tempered-posterior SMC with **device-resident particle state**: the
+``(draws, dim)`` particle array and its per-particle statistics
+(prior/likelihood logp, per-chain acceptance, proposal scalings) live in
+HBM for the whole run — between stages the host sees only scalars
+(β, acceptance rate, log-evidence increment). Stage math maps to the
+hardware as:
+
+- β-bisection targeting ESS = threshold·N (reference
+  ``update_weights_beta``, ``smc.py:169``) is a ``lax.while_loop`` of
+  logsumexp reductions — one jitted call per stage.
+- systematic resampling (reference multinomial, ``smc.py:201-213``) is a
+  sorted-uniform ``searchsorted`` + gather, entirely on device.
+- the MVN proposal covariance (``update_proposal``, ``smc.py:215``) is a
+  centered ``XᵀX`` matmul on the MXU + device cholesky.
+- IMH mutation (``metrop_kernel``, ``smc.py:316``) is one jitted
+  ``fori_loop`` chain vmapped over all particles, with β/chol/n_steps as
+  runtime arguments so the program compiles ONCE for the whole run.
 
 For multi-chip scale the particle axis shards over the mesh
-(``pymc3_tpu.parallel``): weight normalization and ESS are ``psum``
-reductions; resampling gathers through HBM (SURVEY §2.4 "SMC particle
-parallelism").
+(``pymc3_tpu.parallel``): per-particle logp and mutation run on the owning
+chip, reductions become cross-device collectives, and cross-device data
+movement happens only inside the resampling gather (SURVEY §2.4 "SMC
+particle parallelism").
 """
 from __future__ import annotations
 
 import logging
+from functools import partial
 from typing import Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.scipy.special import logsumexp
 
 from ..config import floatX
 from ..model import Point, modelcontext
@@ -30,6 +42,106 @@ from ..vartypes import discrete_types
 logger = logging.getLogger("pymc3_tpu")
 
 __all__ = ["SMC"]
+
+
+# ---------------------------------------------------------------------------
+# jitted stage kernels (module-level so the compile caches across SMC runs)
+# ---------------------------------------------------------------------------
+@jax.jit
+def _beta_stage(ll_raw, old_beta, rN):
+    """Bisect the next inverse temperature and build importance weights.
+
+    Device analog of the reference's host loop (``smc.py:169-197``):
+    carries (low, up, mid, ess) through a ``while_loop``; each iteration is
+    two logsumexp reductions over the particle axis. Returns
+    ``(new_beta, normalized weights, log-marginal-likelihood increment)``
+    — two scalars and one device vector; nothing else leaves the chip.
+    """
+    dtype = ll_raw.dtype
+    big_neg = jnp.asarray(-1e30, dtype)
+    ll = jnp.where(jnp.isfinite(ll_raw), ll_raw, big_neg)
+    n = ll.shape[0]
+
+    def ess_int(nb):
+        lw_un = (nb - old_beta) * ll
+        lw = lw_un - logsumexp(lw_un)
+        return jnp.floor(jnp.exp(-logsumexp(2.0 * lw))).astype(jnp.int32)
+
+    def cond(c):
+        low, up, _, e = c
+        return ((up - low) > 1e-6) & (e != rN)
+
+    def body(c):
+        low, up, _, _ = c
+        mid = 0.5 * (low + up)
+        e = ess_int(mid)
+        # ESS too small -> step too big -> shrink from above; too large ->
+        # raise from below; exact hit exits via cond
+        low2 = jnp.where(e > rN, mid, low)
+        up2 = jnp.where(e < rN, mid, up)
+        return (low2, up2, mid, e)
+
+    low0 = jnp.asarray(old_beta, dtype)
+    up0 = jnp.asarray(2.0, dtype)
+    init = (low0, up0, low0, jnp.asarray(-1, jnp.int32))
+    _, _, mid, _ = jax.lax.while_loop(cond, body, init)
+
+    new_beta = jnp.where(mid >= 1.0, jnp.asarray(1.0, dtype), mid)
+    lw_un = (new_beta - old_beta) * ll
+    lse = logsumexp(lw_un)
+    lml_inc = lse - jnp.log(jnp.asarray(n, dtype))
+    w = jnp.exp(lw_un - lse)
+    w = w / w.sum()
+    return new_beta, w, lml_inc
+
+
+@partial(jax.jit, static_argnums=())
+def _systematic_indices(key, weights):
+    """Systematic resampling indices: one uniform offset, a cumsum, and a
+    vectorized ``searchsorted`` — all on device (reference host path:
+    ``np.searchsorted`` over the full particle set, ``smc.py:201-213``)."""
+    n = weights.shape[0]
+    dtype = weights.dtype
+    u = jax.random.uniform(key, (), dtype)
+    positions = (u + jnp.arange(n, dtype=dtype)) / n
+    cum = jnp.cumsum(weights)
+    cum = cum / cum[-1]
+    idx = jnp.searchsorted(cum, positions)
+    return jnp.clip(idx, 0, n - 1)
+
+
+@jax.jit
+def _resample_gather(key, weights, arrays):
+    """Gather every per-particle array through the systematic indices in a
+    single jitted program (cross-device movement happens here and only
+    here when the particle axis is mesh-sharded)."""
+    idx = _systematic_indices(key, weights)
+    return jax.tree_util.tree_map(lambda a: jnp.take(a, idx, axis=0), arrays)
+
+
+@jax.jit
+def _particle_cov_chol(X):
+    """Proposal covariance of the (resampled, equally-weighted) particles
+    as a centered Gram matmul on the MXU + device cholesky
+    (cf. ``np.cov`` + host cholesky, ``smc.py:215-224``)."""
+    n = X.shape[0]
+    mu = jnp.mean(X, axis=0)
+    Xc = X - mu
+    cov = (Xc.T @ Xc) / n
+    cov = jnp.atleast_2d(cov) + 1e-6 * jnp.eye(X.shape[1], dtype=X.dtype)
+    chol = jnp.linalg.cholesky(cov)
+    ok = jnp.isfinite(cov).all()
+    return cov, chol, ok
+
+
+@jax.jit
+def _tune_scalings(scalings, acc_per_chain):
+    """Per-particle proposal-scale update toward the 0.234 acceptance
+    target (cf. ``tune``, ``smc.py:226``), as device elementwise math."""
+    target = jnp.asarray(0.234, scalings.dtype)
+    ave = jnp.exp(jnp.log(scalings.mean()) + (acc_per_chain.mean() - target))
+    return 0.5 * (ave + jnp.exp(jnp.log(scalings) +
+                                (acc_per_chain - target)))
 
 
 class SMC:
@@ -72,11 +184,11 @@ class SMC:
         self.max_steps = n_steps
         self.proposed = self.draws * self.n_steps
         self.acc_rate = 1.0
-        self.acc_per_chain = np.ones(self.draws)
+        self.acc_per_chain = self._shard(jnp.ones(self.draws, floatX()))
         self.variables = self.model.free_RVs
         self.dimension = self.model.ordering.size
-        self.scalings = np.ones(self.draws) * min(
-            1, 2.38 ** 2 / self.dimension)
+        self.scalings = self._shard(jnp.full(
+            self.draws, min(1, 2.38 ** 2 / self.dimension), floatX()))
         self.discrete = np.concatenate([
             np.full(int(np.prod(v.unconstrained_shape, dtype=int)),
                     str(np.dtype(v.distribution.dtype)) in discrete_types)
@@ -109,101 +221,102 @@ class SMC:
         if self.start is not None:
             pts = self.start if isinstance(self.start, list) else \
                 [self.start] * self.draws
-            self.posterior = np.stack(
+            self.posterior = self._shard(np.stack(
                 [model.dict_to_array({k: p[k] for k in
                                       model.ordering.by_name})
-                 for p in pts]).astype(floatX())
+                 for p in pts]).astype(floatX()))
             return
         fwd = model.sample_forward(self.draws)
         cols = []
         for vm in model.ordering.vmap:
             cols.append(np.asarray(fwd[vm.var]).reshape(self.draws, -1))
-        self.posterior = np.concatenate(cols, axis=1).astype(floatX())
+        self.posterior = self._shard(
+            np.concatenate(cols, axis=1).astype(floatX()))
 
     def setup_kernel(self):
         """Compile tempered logp terms (cf. ``smc.py:127``; the reference's
-        ``logp_forw`` compile boundary becomes two jitted vmapped fns)."""
+        ``logp_forw`` compile boundary becomes jitted vmapped fns). The
+        mutation chain compiles once here — β, chol, scalings and n_steps
+        enter as runtime arguments, so retempering/retuning between stages
+        does NOT retrace."""
         model = self.model
-        self.prior_logp_fn = jax.jit(jax.vmap(model.varlogpt_fn()))
+        prior_fn = model.varlogpt_fn()
         if self.kernel.lower() == "abc":
-            self.likelihood_logp_fn = jax.jit(jax.vmap(
-                _make_abc_loglike(model, self.epsilon)))
+            like_fn = _make_abc_loglike(model, self.epsilon)
         else:
-            self.likelihood_logp_fn = jax.jit(jax.vmap(model.datalogpt_fn()))
+            like_fn = model.datalogpt_fn()
+        self.prior_logp_fn = jax.jit(jax.vmap(prior_fn))
+        self.likelihood_logp_fn = jax.jit(jax.vmap(like_fn))
+
+        def particle_chain(key, q0, scaling, pl0, ll0, beta, chol, n_steps):
+            dim = q0.shape[0]
+            dtype = q0.dtype
+
+            def body(_, carry):
+                q, pl, ll, accs, key = carry
+                key, k1, k2 = jax.random.split(key, 3)
+                delta = (chol @ jax.random.normal(k1, (dim,), dtype)) \
+                    * scaling
+                q_prop = q + delta
+                pl_p = prior_fn(q_prop)
+                ll_p = like_fn(q_prop)
+                mr = (pl_p + beta * ll_p) - (pl + beta * ll)
+                mr = jnp.where(jnp.isnan(mr), -jnp.inf, mr)
+                accept = jnp.log(jax.random.uniform(k2, (), dtype)) < mr
+                q = jnp.where(accept, q_prop, q)
+                pl = jnp.where(accept, pl_p, pl)
+                ll = jnp.where(accept, ll_p, ll)
+                return (q, pl, ll, accs + accept.astype(dtype), key)
+
+            q, pl, ll, accs, _ = jax.lax.fori_loop(
+                0, n_steps, body,
+                (q0, pl0, ll0, jnp.zeros((), dtype), key))
+            return q, pl, ll, accs / n_steps.astype(dtype)
+
+        self._mutate_fn = jax.jit(jax.vmap(
+            particle_chain, in_axes=(0, 0, 0, 0, 0, None, None, None)))
 
     def initialize_logp(self):
-        """cf. ``smc.py:152`` — particle-sharded logp evaluation."""
-        q = self._shard(self.posterior)
-        self.prior_logp = np.asarray(self.prior_logp_fn(q), dtype=np.float64)
-        self.likelihood_logp = np.asarray(self.likelihood_logp_fn(q),
-                                          dtype=np.float64)
+        """cf. ``smc.py:152`` — particle-sharded logp evaluation; results
+        stay in HBM."""
+        self.prior_logp = self.prior_logp_fn(self.posterior)
+        self.likelihood_logp = self.likelihood_logp_fn(self.posterior)
 
     def update_weights_beta(self):
         """Bisection for the next β targeting ESS=threshold·N and accumulate
-        the marginal likelihood (cf. ``smc.py:169-197``)."""
-        low_beta = old_beta = self.beta
-        up_beta = 2.0
-        rN = int(len(self.likelihood_logp) * self.threshold)
-        ll = np.where(np.isfinite(self.likelihood_logp),
-                      self.likelihood_logp, -1e300)
-
-        while up_beta - low_beta > 1e-6:
-            new_beta = (low_beta + up_beta) / 2.0
-            log_weights_un = (new_beta - old_beta) * ll
-            log_weights = log_weights_un - _logsumexp(log_weights_un)
-            ESS = int(np.exp(-_logsumexp(log_weights * 2)))
-            if ESS == rN:
-                break
-            elif ESS < rN:
-                up_beta = new_beta
-            else:
-                low_beta = new_beta
-        if new_beta >= 1:
-            new_beta = 1
-            log_weights_un = (new_beta - old_beta) * ll
-            log_weights = log_weights_un - _logsumexp(log_weights_un)
-        self.log_marginal_likelihood += _logsumexp(log_weights_un) - \
-            np.log(len(ll))
-        self.beta = new_beta
-        self.weights = np.exp(log_weights)
-        self.weights /= self.weights.sum()
+        the marginal likelihood (cf. ``smc.py:169-197``) — one jitted
+        device program; only β and the evidence increment reach the host."""
+        rN = int(self.draws * self.threshold)
+        new_beta, weights, lml_inc = _beta_stage(
+            self.likelihood_logp, jnp.asarray(self.beta, floatX()),
+            jnp.asarray(rN, jnp.int32))
+        self.beta = float(new_beta)
+        self.weights = weights
+        self.log_marginal_likelihood += float(lml_inc)
 
     def resample(self):
-        """Systematic resampling (cf. multinomial resampling,
-        ``smc.py:201-213``)."""
-        n = self.draws
-        positions = (np.random.random() + np.arange(n)) / n
-        cumsum = np.cumsum(self.weights)
-        cumsum[-1] = 1.0
-        idx = np.searchsorted(cumsum, positions)
-        self.posterior = self.posterior[idx]
-        self.prior_logp = self.prior_logp[idx]
-        self.likelihood_logp = self.likelihood_logp[idx]
-        self.acc_per_chain = self.acc_per_chain[idx]
-        self.scalings = self.scalings[idx]
+        """Systematic resampling as a device searchsorted-gather
+        (cf. ``smc.py:201-213``)."""
+        arrays = (self.posterior, self.prior_logp, self.likelihood_logp,
+                  self.acc_per_chain, self.scalings)
+        (self.posterior, self.prior_logp, self.likelihood_logp,
+         self.acc_per_chain, self.scalings) = _resample_gather(
+            self._split(), self.weights, arrays)
         self.tempered_posterior_logp = self.prior_logp + \
             self.beta * self.likelihood_logp
 
     def update_proposal(self):
-        """MVN proposal from weighted particle covariance
-        (cf. ``smc.py:215``)."""
-        cov = np.cov(self.posterior, ddof=0, rowvar=0)
-        cov = np.atleast_2d(cov)
-        cov += 1e-6 * np.eye(cov.shape[0])
-        if np.isnan(cov).any() or np.isinf(cov).any():
-            raise ValueError('Sample covariances not valid! Likely "draws" is '
-                             "too small!")
-        self.cov = cov
-        self.chol = np.linalg.cholesky(cov).astype(floatX())
+        """MVN proposal from the particle covariance, computed as a centered
+        Gram matmul + cholesky on device (cf. ``smc.py:215``)."""
+        self.cov, self.chol, ok = _particle_cov_chol(self.posterior)
+        if not bool(ok):
+            raise ValueError('Sample covariances not valid! Likely "draws" '
+                             "is too small!")
 
     def tune(self):
-        """Tune scaling and n_steps (cf. ``smc.py:226``: Stan-ish 0.234
-        target via the standard log-scaling update)."""
-        ave_scaling = np.exp(np.log(self.scalings.mean()) +
-                             (self.acc_per_chain.mean() - 0.234))
-        self.scalings = 0.5 * (
-            ave_scaling + np.exp(np.log(self.scalings) +
-                                 (self.acc_per_chain - 0.234)))
+        """Tune scaling (device) and n_steps (host scalar)
+        (cf. ``smc.py:226``: 0.234 acceptance target)."""
+        self.scalings = _tune_scalings(self.scalings, self.acc_per_chain)
         if self.tune_steps:
             acc_rate = max(1.0 / self.proposed, self.acc_rate)
             self.n_steps = min(
@@ -213,58 +326,24 @@ class SMC:
         self.proposed = self.draws * self.n_steps
 
     def mutate(self):
-        """Independent-MH mutation chains, one jitted scan over n_steps with
-        all particles vmapped (cf. ``metrop_kernel``, ``smc.py:316``)."""
-        model = self.model
-        prior_fn = model.varlogpt_fn()
-        like_fn = _make_abc_loglike(model, self.epsilon) \
-            if self.kernel.lower() == "abc" else model.datalogpt_fn()
-        beta = float(self.beta)
-        chol = jnp.asarray(self.chol)
-        n_steps = int(self.n_steps)
-        dim = self.dimension
-
-        def particle_chain(key, q0, scaling, pl0, ll0):
-            def body(carry, _):
-                q, pl, ll, accs, key = carry
-                key, k1, k2 = jax.random.split(key, 3)
-                delta = chol @ jax.random.normal(k1, (dim,), floatX()) \
-                    * scaling
-                q_prop = q + delta
-                pl_p = prior_fn(q_prop)
-                ll_p = like_fn(q_prop)
-                new_tempered = pl_p + beta * ll_p
-                old_tempered = pl + beta * ll
-                mr = new_tempered - old_tempered
-                mr = jnp.where(jnp.isnan(mr), -jnp.inf, mr)
-                accept = jnp.log(jax.random.uniform(k2, (), floatX())) < mr
-                q = jnp.where(accept, q_prop, q)
-                pl = jnp.where(accept, pl_p, pl)
-                ll = jnp.where(accept, ll_p, ll)
-                return (q, pl, ll, accs + accept.astype(floatX()), key), None
-
-            (q, pl, ll, accs, _), _ = jax.lax.scan(
-                body, (q0, pl0, ll0, jnp.asarray(0.0, floatX()), key),
-                None, length=n_steps)
-            return q, pl, ll, accs / n_steps
-
+        """Independent-MH mutation chains: one pre-compiled vmapped
+        ``fori_loop`` over n_steps (cf. ``metrop_kernel``, ``smc.py:316``).
+        Particle state stays on device; only the mean acceptance rate is
+        pulled for the n_steps tuning heuristic."""
         keys = self._shard(jax.random.split(self._split(), self.draws))
-        run = jax.jit(jax.vmap(particle_chain))
-        q, pl, ll, acc = run(keys, self._shard(self.posterior),
-                             self._shard(np.asarray(self.scalings,
-                                                    floatX())),
-                             self._shard(np.asarray(self.prior_logp,
-                                                    floatX())),
-                             self._shard(np.asarray(self.likelihood_logp,
-                                                    floatX())))
-        self.posterior = np.asarray(q)
-        self.prior_logp = np.asarray(pl, dtype=np.float64)
-        self.likelihood_logp = np.asarray(ll, dtype=np.float64)
-        self.acc_per_chain = np.asarray(acc, dtype=np.float64)
-        self.acc_rate = float(self.acc_per_chain.mean())
+        q, pl, ll, acc = self._mutate_fn(
+            keys, self.posterior, self.scalings, self.prior_logp,
+            self.likelihood_logp, jnp.asarray(self.beta, floatX()),
+            self.chol.astype(floatX()),
+            jnp.asarray(self.n_steps, jnp.int32))
+        self.posterior = q
+        self.prior_logp = pl
+        self.likelihood_logp = ll
+        self.acc_per_chain = acc
+        self.acc_rate = float(acc.mean())
 
     def posterior_to_trace(self):
-        """cf. ``smc.py:295``."""
+        """cf. ``smc.py:295`` — the run's single full device→host pull."""
         from ..backends.base import MultiTrace
         from ..backends.ndarray import NDArray
         model = self.model
@@ -319,9 +398,3 @@ def _make_abc_loglike(model, epsilon):
         dist2 = jnp.mean((jnp.asarray(sim, floatX()) - observed) ** 2)
         return -dist2 / (2.0 * epsilon ** 2)
     return loglike
-
-
-def _logsumexp(a):
-    a = np.asarray(a)
-    amax = a.max()
-    return float(np.log(np.sum(np.exp(a - amax))) + amax)

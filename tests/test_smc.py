@@ -82,3 +82,75 @@ def test_smc_abc():
     trace = pm.sample_smc(draws=1000, kernel="abc", epsilon=0.5,
                           model=model, random_seed=4)
     assert abs(trace["a"].mean() - data.mean()) < 0.5
+
+
+def test_beta_stage_matches_host_bisection():
+    """Device while_loop bisection (smc._beta_stage) reproduces the
+    reference host algorithm (``pymc3/smc/smc.py:169-197``)."""
+    import jax.numpy as jnp
+    from pymc3_tpu.smc.smc import _beta_stage
+
+    def host_bisect(ll, old_beta, threshold):
+        def lse(a):
+            amax = a.max()
+            return float(np.log(np.sum(np.exp(a - amax))) + amax)
+        low_beta = old_beta
+        up_beta = 2.0
+        rN = int(len(ll) * threshold)
+        while up_beta - low_beta > 1e-6:
+            new_beta = (low_beta + up_beta) / 2.0
+            lw_un = (new_beta - old_beta) * ll
+            lw = lw_un - lse(lw_un)
+            ESS = int(np.exp(-lse(lw * 2)))
+            if ESS == rN:
+                break
+            elif ESS < rN:
+                up_beta = new_beta
+            else:
+                low_beta = new_beta
+        if new_beta >= 1:
+            new_beta = 1
+            lw_un = (new_beta - old_beta) * ll
+            lw = lw_un - lse(lw_un)
+        lml_inc = lse(lw_un) - np.log(len(ll))
+        w = np.exp(lw)
+        return new_beta, w / w.sum(), lml_inc
+
+    rng = np.random.default_rng(0)
+    for old_beta, scale in [(0.0, 50.0), (0.3, 5.0), (0.9, 0.5)]:
+        ll = -np.abs(rng.normal(size=512)) * scale
+        b_host, w_host, lml_host = host_bisect(ll, old_beta, 0.5)
+        b_dev, w_dev, lml_dev = _beta_stage(
+            jnp.asarray(ll, jnp.float32), jnp.asarray(old_beta, jnp.float32),
+            jnp.asarray(256, jnp.int32))
+        assert abs(float(b_dev) - b_host) < 2e-5, (b_host, float(b_dev))
+        np.testing.assert_allclose(np.asarray(w_dev), w_host, atol=1e-5)
+        assert abs(float(lml_dev) - lml_host) < 1e-3
+
+
+def test_particle_state_stays_on_device():
+    """Between-stage particle state is device-resident: no full-particle
+    numpy round trip (VERDICT r2 item 4)."""
+    import jax
+    from pymc3_tpu.smc.smc import SMC
+
+    with pm.Model() as model:
+        x = pm.Normal("x", 0.0, 1.0, shape=2)
+        pm.Normal("obs", mu=x.sum(), sigma=1.0, observed=np.array([0.3]))
+
+    smc = SMC(draws=256, model=model, random_seed=4, n_steps=3)
+    smc.initialize_population()
+    smc.setup_kernel()
+    smc.initialize_logp()
+    for _ in range(3):
+        if smc.beta >= 1:
+            break
+        smc.update_weights_beta()
+        smc.resample()
+        smc.update_proposal()
+        smc.mutate()
+        for name in ("posterior", "prior_logp", "likelihood_logp",
+                     "acc_per_chain", "scalings", "weights", "chol"):
+            assert isinstance(getattr(smc, name), jax.Array), name
+        assert isinstance(smc.beta, float)
+        assert isinstance(smc.acc_rate, float)
