@@ -378,6 +378,28 @@ class Wald(PositiveContinuous):
                 - 0.5 * lam / safe * ((safe - mu) / mu) ** 2)
         return bound(logp, centered > 0, mu > 0, lam > 0, alpha >= 0)
 
+    def logcdf(self, value, env=None, memo=None):
+        """Inverse-Gaussian log CDF
+        ``log[Φ(√(λ/x)(x/μ−1)) + e^{2λ/μ} Φ(−√(λ/x)(x/μ+1))]``.
+
+        cf. ``continuous.py:1124`` — NOTE: the reference's v3.8 expression
+        mis-scales both Φ arguments and the exponent for μ≠1 (fixed
+        upstream post-3.8); this implements the correct closed form,
+        verified against ``scipy.stats.invgauss``.
+        """
+        env, memo = _norm(env, memo)
+        mu, lam, alpha = self._ev_params(("mu", "lam", "alpha"), env, memo)
+        value = jnp.asarray(value, floatX())
+        x = value - alpha
+        safe = jnp.where(x > 0, x, 1.0)
+        rt = jnp.sqrt(lam / safe)
+        a = normal_lcdf(0.0, 1.0, rt * (safe / mu - 1.0))
+        b = 2.0 * lam / mu + normal_lcdf(0.0, 1.0, -rt * (safe / mu + 1.0))
+        lcdf = a + jnp.log1p(jnp.exp(b - a))
+        lcdf = jnp.minimum(lcdf, 0.0)
+        return bound(jnp.where(x > 0, lcdf, -jnp.inf),
+                     mu > 0, lam > 0, alpha >= 0)
+
     def random(self, point=None, size=None):
         mu, lam, alpha = draw_values([self.mu, self.lam, self.alpha],
                                      point=point, size=size)

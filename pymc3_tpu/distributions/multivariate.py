@@ -26,6 +26,7 @@ from .continuous import get_tau_sigma, Normal, ChiSquared
 from .distribution import (
     Continuous, Discrete, Distribution, draw_values, generate_samples,
 )
+from .shape_utils import to_tuple
 
 __all__ = [
     "MvNormal", "MvStudentT", "Dirichlet", "Multinomial", "Wishart",
@@ -192,9 +193,11 @@ class MvStudentT(_QuadFormBase):
         d = cov.shape[-1]
 
         def _rvs(nu, mu, size):
-            chi2 = np.random.chisquare(nu, size=size) / nu
-            z = np.random.multivariate_normal(np.zeros(d), cov,
-                                              size=size)
+            # size arrives as batch + (d,); the event dim is produced by the
+            # multivariate draw itself
+            batch = size[:-1] if size else None
+            chi2 = np.asarray(np.random.chisquare(nu, size=batch)) / nu
+            z = np.random.multivariate_normal(np.zeros(d), cov, size=batch)
             return np.asarray(mu) + z / np.sqrt(chi2)[..., None]
         return generate_samples(_rvs, nu, mu, dist_shape=self.shape,
                                 size=size, broadcast_shape=np.shape(mu))
@@ -353,11 +356,14 @@ class Wishart(Continuous):
 
     def random(self, point=None, size=None):
         nu, V = draw_values([self.nu, self.V], point=point, size=size)
-        return generate_samples(
-            lambda nu, V, size: st.wishart.rvs(int(np.asarray(nu)), V,
-                                               size=size),
-            nu, V, dist_shape=self.shape, size=size,
-            broadcast_shape=np.shape(V))
+        V = np.asarray(V)
+        p = V.shape[-1]
+        size_t = to_tuple(size) if size is not None else ()
+        # scipy's wishart size is the batch count; the (p, p) event shape is
+        # implicit — flatten the batch, then restore (size + (p, p))
+        n_batch = int(np.prod(size_t, dtype=int)) if size_t else 1
+        out = st.wishart.rvs(int(np.asarray(nu)), V, size=n_batch)
+        return np.asarray(out).reshape(size_t + (p, p))
 
 
 def WishartBartlett(name, S, nu, is_cholesky=False, return_cholesky=False,
@@ -703,8 +709,10 @@ class KroneckerNormal(Continuous):
             K = K + sigma ** 2 * np.eye(K.shape[0])
         return generate_samples(
             lambda mu, size: np.random.multivariate_normal(
-                np.broadcast_to(mu, (self.N,)), K, size=size),
-            mu, dist_shape=self.shape, size=size)
+                np.broadcast_to(mu, (self.N,)), K,
+                size=size[:-1] if size else None),
+            mu, dist_shape=self.shape, size=size,
+            broadcast_shape=(self.N,))
 
 
 def _kron_rotate(QTs, x):
