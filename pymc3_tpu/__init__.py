@@ -21,10 +21,11 @@ if not logging.root.handlers:
         _log.addHandler(handler)
 
 from .config import floatX, intX, get_config, set_config
-from .config import _apply_matmul_precision as _ammp
+from .config import _apply_floatX as _afx, _apply_matmul_precision as _ammp
 
+_afx()
 _ammp()
-del _ammp
+del _afx, _ammp
 from . import node
 from . import math
 from .math import (

@@ -49,6 +49,19 @@ class Config:
 _config = Config()
 
 
+def _apply_floatX():
+    """Wire the configured float width into jax (the env-var path of the
+    reference's FLOATX CI sweep, ``scripts/test.sh:9``): float64 requires
+    the x64 flag or every array silently truncates to float32."""
+    import jax
+
+    if _config.floatX == "float64":
+        jax.config.update("jax_enable_x64", True)
+        _config.intX = "int64"
+    elif _config.floatX == "float32":
+        _config.intX = "int32"
+
+
 def _apply_matmul_precision():
     import jax
 
@@ -68,11 +81,7 @@ def set_config(**kwargs: Any) -> Config:
         if not hasattr(_config, k):
             raise KeyError(f"unknown config field {k!r}")
         setattr(_config, k, v)
-    if _config.floatX == "float64":
-        jax.config.update("jax_enable_x64", True)
-        _config.intX = "int64"
-    elif _config.floatX == "float32":
-        _config.intX = "int32"
+    _apply_floatX()
     _apply_matmul_precision()
     return _config
 

@@ -232,10 +232,16 @@ class _RandomStream:
         self.seed(seed)
 
     def seed(self, seed):
-        self._key = jax.random.PRNGKey(seed)
+        # the device key is created lazily: materializing it here would
+        # initialize the XLA backend at import time, which breaks
+        # multi-host bring-up (jax.distributed.initialize must run first)
+        self._seed = seed
+        self._key = None
         self.np_rng = np.random.default_rng(seed)
 
     def next_key(self):
+        if self._key is None:
+            self._key = jax.random.PRNGKey(self._seed)
         self._key, sub = jax.random.split(self._key)
         return sub
 
@@ -246,7 +252,7 @@ class _RandomStream:
         return self.np_rng.uniform(size=size).astype(floatX())
 
 
-_tt_rng = _RandomStream(42)
+_tt_rng = None
 
 
 def tt_rng(random_seed=None):
@@ -254,6 +260,8 @@ def tt_rng(random_seed=None):
     global _tt_rng
     if random_seed is not None:
         _tt_rng = _RandomStream(random_seed)
+    elif _tt_rng is None:
+        _tt_rng = _RandomStream(42)
     return _tt_rng
 
 

@@ -226,15 +226,32 @@ class SVGD(ImplicitGradient):
 
 
 class ASVGD(ImplicitGradient):
-    """Amortized SVGD (cf. ``inference.py:596``) — approximated here by SVGD
-    over a flow-parameterized sampler's particles."""
+    """Amortized SVGD (cf. ``inference.py:596``): a parametric sampler
+    (default FullRank, matching the reference) trained under the
+    kernelized Stein discrepancy. Each step reparameterizes ``obj_n_mc``
+    draws, computes the Stein direction ``phi*`` over them, and pulls it
+    back through the sampler's VJP (``Delta theta = (1/n) sum_i
+    phi*(x_i)^T dx_i/dtheta`` — Wang & Liu 2016, arXiv:1611.01722).
+    Temperature caveats of the reference apply (posterior variance is
+    often underestimated at temperature 1)."""
 
     def __init__(self, approx=None, estimator=KSD, kernel=None,
-                 model=None, **kwargs):
+                 model=None, random_seed=None, **kwargs):
+        if random_seed is not None:
+            np.random.seed(int(random_seed))
         if approx is None:
-            approx = Empirical(size=100, model=modelcontext(model))
+            approx = FullRank(model=modelcontext(model))
         super().__init__(approx=approx, estimator=estimator, kernel=kernel,
                          **kwargs)
+
+    def fit(self, n=10000, score=None, callbacks=None, progressbar=True,
+            obj_n_mc=100, **kwargs):
+        """cf. the reference's obj_n_mc=500 default (``inference.py:660``);
+        100 keeps the O(n^2) kernel matrix cheap at equal quality for the
+        low-dimensional targets this estimator suits."""
+        return super().fit(n=n, score=score, callbacks=callbacks,
+                           progressbar=progressbar, obj_n_mc=obj_n_mc,
+                           **kwargs)
 
 
 class NFVI(KLqp):

@@ -11,7 +11,16 @@ import pymc3_tpu as pm
 from pymc3_tpu.ops.pallas.gp_cov import (
     STATIONARY_KINDS, _fallback, stationary_cov)
 
-jax.config.update("jax_enable_x64", False)
+@pytest.fixture(autouse=True)
+def _force_f32():
+    """The Pallas interpreter kernel is written for the TPU-native f32
+    width; scope the x64 flip so the float64 CI sweep
+    (PYMC3_TPU_FLOATX=float64, scripts/test.sh) isn't poisoned for every
+    test that runs after this module."""
+    prev = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", False)
+    yield
+    jax.config.update("jax_enable_x64", prev)
 
 
 def _inputs(n=40, m=200, d=3, seed=0):

@@ -139,3 +139,23 @@ def test_optimizers_converge_quadratic():
             g = jax.grad(loss)(params)
             params, state = opt.update(g, state, params)
         assert float(loss(params)) < 0.05, (name, params)
+
+
+def test_asvgd_amortized():
+    """ASVGD is the amortized formulation (reference ``inference.py:596``):
+    a FullRank sampler trained under KSD via the sampler VJP — not SVGD
+    over raw particles."""
+    np.random.seed(0)
+    data = np.random.randn(100).astype(np.float32) + 2.0
+    with pm.Model() as model:
+        mu = pm.Normal("mu", 0.0, 10.0)
+        sd = pm.HalfNormal("sd", 2.0)
+        pm.Normal("obs", mu=mu, sigma=sd, observed=data)
+    approx = v.fit(n=2000, method="asvgd", model=model, random_seed=1,
+                   progressbar=False,
+                   obj_optimizer=v.updates.adam(learning_rate=0.05))
+    # trained object is a parametric (FullRank) sampler, not particles
+    assert "particles" not in approx.params[0]
+    tr = approx.sample(1000)
+    assert abs(tr["mu"].mean() - data.mean()) < 0.2
+    assert abs(tr["sd"].mean() - data.std()) < 0.4
