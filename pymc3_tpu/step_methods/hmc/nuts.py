@@ -111,63 +111,94 @@ def _build_subtree(key, edge0, eps_signed, n_leaves, h0, var, logp_dlogp_fn,
         leaf_idx=jnp.asarray(0, jnp.int32),
         turning=jnp.asarray(False),
         diverging=jnp.asarray(False),
-        r_ckpts=jnp.zeros((max_treedepth + 1, n), floatX()),
-        s_ckpts=jnp.zeros((max_treedepth + 1, n), floatX()),
+        r_ckpts=jnp.zeros((max_treedepth + 2, n), floatX()),
+        s_ckpts=jnp.zeros((max_treedepth + 2, n), floatX()),
         key=key,
     )
+
+    rows = jnp.arange(max_treedepth + 2, dtype=jnp.int32)
+    zero = jnp.asarray(0.0, floatX())
+
+    def leaf_weight(edge):
+        """(energy error, diverging, log weight, accept stat) of a leaf."""
+        eerr = edge.energy - h0
+        eerr = jnp.where(jnp.isnan(eerr), jnp.inf, eerr)
+        acc = jnp.exp(jnp.minimum(zero, -eerr))
+        return eerr, eerr > emax, -eerr, jnp.where(jnp.isnan(acc), 0.0, acc)
+
+    def take_prop(k_take, lsw, lw, edge, prop, gate):
+        """Progressive multinomial proposal update, masked by ``gate``."""
+        new_lsw = jnp.where(gate, jnp.logaddexp(lsw, lw), lsw)
+        take = gate & (jnp.log(jax.random.uniform(k_take, (), floatX()))
+                       < lw - new_lsw)
+        new_prop = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(take, a, b),
+            _Proposal(edge.q, edge.model_logp, edge.q_grad, edge.energy),
+            prop)
+        return new_lsw, new_prop
 
     def cond(s: _SubtreeState):
         return (s.leaf_idx < n_leaves) & ~s.turning & ~s.diverging
 
     def body(s: _SubtreeState):
-        key, k_take = jax.random.split(s.key)
-        edge = leapfrog(logp_dlogp_fn, var, eps_signed, s.edge)
+        # Two leaves per iteration: leaf A (even — stores its checkpoint,
+        # no U-turn possible) then leaf B (odd — runs the U-turn check).
+        # Halves the while-loop trip count AND runs the checkpoint/U-turn
+        # row math once per pair instead of masked every leaf. B is masked
+        # out when A diverges or the subtree is a single leaf (depth 0).
+        key, k_take_a, k_take_b = jax.random.split(s.key, 3)
+        leaf = s.leaf_idx  # even by construction
 
-        eerr = edge.energy - h0
-        eerr = jnp.where(jnp.isnan(eerr), jnp.inf, eerr)
-        diverging = eerr > emax
-        lw = -eerr
-        leaf_accept = jnp.exp(jnp.minimum(jnp.asarray(0.0, floatX()), -eerr))
-        leaf_accept = jnp.where(jnp.isnan(leaf_accept), 0.0, leaf_accept)
+        # -- leaf A (even) --------------------------------------------------
+        edge_a = leapfrog(logp_dlogp_fn, var, eps_signed, s.edge)
+        eerr_a, div_a, lw_a, acc_a = leaf_weight(edge_a)
+        lsw, prop = take_prop(k_take_a, s.lsw, lw_a, edge_a, s.prop,
+                              jnp.asarray(True))
+        p_sum_a = s.p_sum + edge_a.p
+        p_first = jnp.where(leaf == 0, edge_a.p, s.p_first)
 
-        new_lsw = jnp.logaddexp(s.lsw, lw)
-        take = jnp.log(jax.random.uniform(k_take, (), floatX())) < lw - new_lsw
-        prop = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(take, a, b),
-            _Proposal(edge.q, edge.model_logp, edge.q_grad, edge.energy),
-            s.prop)
+        # checkpoint store via dense one-hot blend (a vmapped dynamic
+        # .at[].set() lowers to per-lane scatter, which TPUs execute
+        # poorly; this is pure VPU math at deterministic cost)
+        row = _popcount(leaf >> 1)
+        onehot = (rows == row).astype(floatX())[:, None]
+        r_ckpts = s.r_ckpts * (1.0 - onehot) + onehot * edge_a.p[None, :]
+        s_ckpts = s.s_ckpts * (1.0 - onehot) + onehot * p_sum_a[None, :]
 
-        p_sum = s.p_sum + edge.p
-        p_first = jnp.where(s.leaf_idx == 0, edge.p, s.p_first)
+        # -- leaf B (odd) ---------------------------------------------------
+        active_b = (leaf + 1 < n_leaves) & ~div_a
+        edge_b = leapfrog(logp_dlogp_fn, var, eps_signed, edge_a)
+        eerr_b, div_b, lw_b, acc_b = leaf_weight(edge_b)
+        lsw, prop = take_prop(k_take_b, lsw, lw_b, edge_b, prop, active_b)
+        p_sum_b = p_sum_a + edge_b.p
 
-        leaf = s.leaf_idx
-        even = (leaf % 2) == 0
-        row = _popcount(leaf >> 1)  # storage row for even leaves
-        r_ckpts = jnp.where(even,
-                            s.r_ckpts.at[row].set(edge.p), s.r_ckpts)
-        s_ckpts = jnp.where(even,
-                            s.s_ckpts.at[row].set(p_sum), s.s_ckpts)
-
-        # odd leaf: check U-turn for every complete sub-subtree ending here
-        idx_max = _popcount(leaf >> 1)
-        idx_min = idx_max - _trailing_ones(leaf) + 1
-        rows = jnp.arange(max_treedepth + 1, dtype=jnp.int32)
-        active = (~even) & (rows >= idx_min) & (rows <= idx_max)
-        span_sums = p_sum[None, :] - s_ckpts + r_ckpts       # (D+1, n)
+        # U-turn for every complete sub-subtree ending at this odd leaf
+        idx_max = row
+        idx_min = idx_max - _trailing_ones(leaf + 1) + 1
+        active_rows = active_b & (rows >= idx_min) & (rows <= idx_max)
+        span_sums = p_sum_b[None, :] - s_ckpts + r_ckpts
         v_l = var[None, :] * r_ckpts
-        v_r = var * edge.p
+        v_r = var * edge_b.p
         t_rows = (jnp.einsum("dn,dn->d", span_sums, v_l) <= 0) | \
                  (span_sums @ v_r <= 0)
-        turning = jnp.any(active & t_rows)
+        turning = jnp.any(active_rows & t_rows)
 
-        new_max = jnp.where(jnp.abs(eerr) > jnp.abs(s.max_eerr), eerr,
-                            s.max_eerr)
+        # -- merge the pair -------------------------------------------------
+        edge = jax.tree_util.tree_map(
+            lambda b_, a_: jnp.where(active_b, b_, a_), edge_b, edge_a)
+        p_sum = jnp.where(active_b, p_sum_b, p_sum_a)
+        eerr_big = jnp.where(active_b & (jnp.abs(eerr_b) > jnp.abs(eerr_a)),
+                             eerr_b, eerr_a)
+        new_max = jnp.where(jnp.abs(eerr_big) > jnp.abs(s.max_eerr),
+                            eerr_big, s.max_eerr)
         return _SubtreeState(
-            edge=edge, prop=prop, p_first=p_first, lsw=new_lsw, p_sum=p_sum,
-            sum_accept=s.sum_accept + leaf_accept,
+            edge=edge, prop=prop, p_first=p_first, lsw=lsw, p_sum=p_sum,
+            sum_accept=s.sum_accept + acc_a
+            + jnp.where(active_b, acc_b, zero),
             max_eerr=new_max,
-            leaf_idx=leaf + 1,
-            turning=turning, diverging=diverging,
+            leaf_idx=leaf + 1 + active_b.astype(jnp.int32),
+            turning=turning,
+            diverging=div_a | (active_b & div_b),
             r_ckpts=r_ckpts, s_ckpts=s_ckpts, key=key)
 
     return lax.while_loop(cond, body, init)
