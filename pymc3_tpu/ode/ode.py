@@ -96,10 +96,16 @@ class DifferentialEquation:
         self.func = func
         self.t0 = float(t0)
         self.times = np.asarray(times, dtype=np.float64)
-        if np.any(np.diff(np.concatenate([[t0], self.times])) <= 0):
+        # t0 == times[0] is allowed (the reference's freefall asv benchmark
+        # uses it, ``benchmarks.py:225``): the first observation then IS
+        # the initial condition
+        if np.any(np.diff(self.times) <= 0) or t0 > self.times[0]:
             raise ValueError("The initial time t0 must be smaller than the "
                              "first observation time, and times must be "
                              "strictly increasing.")
+        if t0 == self.times[0] and len(self.times) < 2:
+            raise ValueError("With t0 == times[0] at least two observation "
+                             "times are required.")
         self.n_states = int(n_states)
         self.n_theta = int(n_theta)
         self.n_times = len(self.times)
@@ -145,9 +151,11 @@ class DifferentialEquation:
         atol = jnp.asarray(self.atol, floatX())
         t_end = float(self.times[-1])
 
-        # initial step: a conservative fraction of the first segment
-        dt0 = jnp.asarray(
-            (self.times[0] - self.t0) / 8.0, floatX())
+        # initial step: a conservative fraction of the first nonzero
+        # segment; with t0 == times[0] the first output is y0 itself
+        t0_is_first = bool(self.times[0] == self.t0)
+        first_end = self.times[1] if t0_is_first else self.times[0]
+        dt0 = jnp.asarray((first_end - self.t0) / 8.0, floatX())
 
         def body(state, _):
             t, y, dt, out_idx, ys = state
@@ -186,8 +194,12 @@ class DifferentialEquation:
             return (t_new, y_next, dt_keep, out_next, ys), None
 
         ys0 = jnp.zeros((n_out, self.n_states), floatX())
+        out_idx0 = 0
+        if t0_is_first:
+            ys0 = ys0.at[0].set(y0)
+            out_idx0 = 1
         state0 = (jnp.asarray(self.t0, floatX()), y0, dt0,
-                  jnp.asarray(0, jnp.int32), ys0)
+                  jnp.asarray(out_idx0, jnp.int32), ys0)
         (t_f, y_f, _, out_f, ys), _ = lax.scan(body, state0, None,
                                                length=self.max_steps)
         # if max_steps ran out before all outputs were written, poison the

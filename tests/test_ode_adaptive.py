@@ -110,3 +110,24 @@ def test_adaptive_in_model_logp():
     # gradient of the whole posterior through the adaptive solver
     grad = m.dlogp()
     assert np.all(np.isfinite(grad))
+
+
+def test_t0_equal_first_observation():
+    """The reference's freefall asv benchmark integrates with
+    t0 == times[0] (``benchmarks.py:225``): the first output row is the
+    initial condition."""
+    import scipy.integrate as si
+
+    def freefall(y, t, p):
+        return 2.0 * p[1] - p[0] * y[0]
+
+    times = np.arange(0, 10, 0.5)
+    ode = pm.ode.DifferentialEquation(func=freefall, times=times,
+                                      n_states=1, n_theta=2, t0=0)
+    sol = np.asarray(ode._solve(np.array([0.0]), np.array([0.4, 9.8])))
+    ref = si.odeint(freefall, [0.0], times, args=((0.4, 9.8),))
+    assert sol[0, 0] == 0.0
+    np.testing.assert_allclose(sol, ref, atol=1e-2)
+    with pytest.raises(ValueError):
+        pm.ode.DifferentialEquation(func=freefall, times=np.array([0.0]),
+                                    n_states=1, n_theta=2, t0=0)
