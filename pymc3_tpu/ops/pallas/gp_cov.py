@@ -176,8 +176,19 @@ def _pallas_cov(kind, X, Xs, interpret=False):
 
 
 def pallas_stationary_available(n=None, m=None):
-    """True when the TPU Pallas path would be used for an n×m problem."""
+    """True when the TPU Pallas path would be used for an n×m problem.
+
+    Measured on TPU v5e (BENCHMARKS.md r3): the hand-written kernel is
+    0.6-0.75x the fused-XLA form at n=4096 and only TIES at n=16384 —
+    both sit at the VPU transcendental ceiling, and XLA's fusion wins the
+    smaller tiles. The XLA form is therefore the default; the Pallas
+    kernel stays available (force_pallas / PYMC3_TPU_FORCE_PALLAS=1) for
+    its guaranteed single-pass VMEM schedule independent of surrounding
+    fusion context.
+    """
     if os.environ.get("PYMC3_TPU_DISABLE_PALLAS"):
+        return False
+    if not os.environ.get("PYMC3_TPU_FORCE_PALLAS"):
         return False
     if jax.default_backend() != "tpu":
         return False

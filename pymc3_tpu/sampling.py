@@ -202,13 +202,19 @@ def sample(draws=500, step=None, init="auto", n_init=200000, start=None,
     _check_bad_init(model, chain_starts[0])
 
     # -- run the fused sampler ----------------------------------------------
+    # a list-valued `trace` selects the variables to record (reference
+    # semantics, ``sampling.py:268-271``); only those are decoded and
+    # streamed device->host, which also slashes transfer volume
+    trace, trace_vars = _resolve_trace_vars(model, trace)
+
     keep_from = tune if discard_tuned_samples else 0
     t_start = time.time()
     result = _device_sample(
         model=model, step=step, q0=q0, draws=draws, tune=tune,
         random_seed=random_seed, progressbar=progressbar,
         axis_name=axis_name, devices=devices, callback=callback,
-        block_size=kwargs.pop("block_size", None), keep_from=keep_from)
+        block_size=kwargs.pop("block_size", None), keep_from=keep_from,
+        trace_vars=trace_vars)
     t_sampling = time.time() - t_start
 
     if result["interrupted"]:
@@ -225,7 +231,7 @@ def sample(draws=500, step=None, init="auto", n_init=200000, start=None,
 
     # -- build traces --------------------------------------------------------
     traces = _flush_to_traces(model, step, result, trace, chain_idx, chains,
-                              keep_from)
+                              keep_from, trace_vars=trace_vars)
     mtrace = MultiTrace(traces)
     mtrace._report = SamplerReport()
     mtrace.report._n_tune = tune
@@ -347,9 +353,28 @@ class _BlockProgress:
         sys.stderr.flush()
 
 
+def _resolve_trace_vars(model, trace):
+    """A list-valued ``trace`` argument selects which unobserved variables
+    to record (cf. the reference's ``trace`` list semantics,
+    ``pymc3/sampling.py:268-271``). Returns ``(trace_backend_arg,
+    vars_subset_or_None)``."""
+    if not isinstance(trace, (list, tuple)):
+        return trace, None
+    by_name = {v.name: v for v in model.unobserved_RVs}
+    vars_ = []
+    for item in trace:
+        name = item if isinstance(item, str) else getattr(item, "name", None)
+        if name is None or name not in by_name:
+            raise ValueError(
+                f"trace list entries must name unobserved model variables; "
+                f"got {item!r}")
+        vars_.append(by_name[name])
+    return None, vars_
+
+
 def _device_sample(model, step, q0, draws, tune, random_seed, progressbar,
                    axis_name=None, devices=None, callback=None,
-                   block_size=None, keep_from=0):
+                   block_size=None, keep_from=0, trace_vars=None):
     """Run warmup+draws as a sequence of fixed-size jitted scan blocks,
     vmapped (and optionally mesh-sharded) over chains.
 
@@ -369,7 +394,7 @@ def _device_sample(model, step, q0, draws, tune, random_seed, progressbar,
     key = jax.random.PRNGKey(random_seed)
     chain_keys = jax.random.split(key, chains)
 
-    unobserved = model.unobserved_RVs
+    unobserved = model.unobserved_RVs if trace_vars is None else trace_vars
     varnames = [v.name for v in unobserved]
     from .node import _ev
 
@@ -555,10 +580,10 @@ def _device_sample(model, step, q0, draws, tune, random_seed, progressbar,
 
 
 def _flush_to_traces(model, step, result, trace_arg, chain_idx, chains,
-                     keep_from):
+                     keep_from, trace_vars=None):
     """Record streamed (chains, n_kept, ...) value blocks into per-chain
     trace backends."""
-    unobserved = model.unobserved_RVs
+    unobserved = model.unobserved_RVs if trace_vars is None else trace_vars
     var_values = result["values"]
     any_val = next((v for v in var_values.values() if v is not None), None)
     nkept = 0 if any_val is None else any_val.shape[1]

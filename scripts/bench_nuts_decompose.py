@@ -146,6 +146,46 @@ def main():
     print(f"5 kernel    {t/n_done*1e6:9.1f} us/leapfrog   "
           f"{t/n_done/base:.2f}x   (mean tree {n_done:.1f})")
 
+    # 6. production-shaped program: lax.scan of T kernel_steps with a
+    # realistic adapted step size (isolates scan-of-while pathologies from
+    # single-call dispatch latency)
+    T = int(os.environ.get("DEC_DRAWS", 50))
+    eps_real = float(os.environ.get("DEC_EPS", 0.04))
+    import dataclasses
+
+    state0 = jax.tree_util.tree_map(lambda x: x, state0)
+    da0 = state0.da._replace(
+        log_step=jnp.full_like(state0.da.log_step, np.log(eps_real)),
+        log_bar_step=jnp.full_like(state0.da.log_bar_step,
+                                   np.log(eps_real)))
+    state0 = state0._replace(da=da0)
+    draw_keys = jax.random.split(jax.random.PRNGKey(7), T * chains)
+    draw_keys = draw_keys.reshape(T, chains, 2)
+
+    def kblock(dkeys, qq, st):
+        def one(k1, q1, s1):
+            tctx = TuneContext(jnp.asarray(False),
+                               jnp.asarray(500, jnp.int32), 500)
+            q2, s2, stats = step.kernel_step(k1, q1, s1, tctx)
+            return q2, s2, stats["tree_size"]
+
+        def body(c, k):
+            qc, sc = c
+            q2, s2, tsz = jax.vmap(one, axis_name="chains_local")(k, qc, sc)
+            return (q2, s2), tsz
+
+        (_, _), tszs = jax.lax.scan(body, (qq, st), dkeys)
+        return tszs
+
+    f_b = jax.jit(kblock)
+    tszs = f_b(draw_keys, q, state0)
+    n_leap = float(np.sum(np.asarray(tszs)))
+    t = timed(f_b, draw_keys, q, state0, reps=3)
+    per_lane_leaf = t / (n_leap / chains)
+    print(f"6 scan({T}) {per_lane_leaf*1e6:9.1f} us/leapfrog   "
+          f"{per_lane_leaf/base:.2f}x   (mean tree "
+          f"{n_leap/(T*chains):.1f}, eps {eps_real})")
+
 
 if __name__ == "__main__":
     main()

@@ -36,13 +36,17 @@ def main():
     model = build_model(pm)
 
     for chains in chain_counts:
+        # subset trace: measure the chip, not the dev tunnel's ~5 MB/s
+        # device->host link (see bench.py run_config)
+        trace_arg = None if os.environ.get("BENCH_FULL_TRACE") else ["mu_a"]
+
         def run(seed):
             t0 = time.time()
             tr = pm.sample(draws=draws, tune=tune, chains=chains,
                            model=model, progressbar=False, random_seed=seed,
                            target_accept=target_accept,
                            axis_name="chains_local" if pooled else None,
-                           block_size=block_size,
+                           block_size=block_size, trace=trace_arg,
                            compute_convergence_checks=False)
             return tr, time.time() - t0
 
