@@ -310,6 +310,7 @@ class NutsKernelState(NamedTuple):
     grad: jnp.ndarray
     da: DAState
     pot: DiagAdaptState
+    rescue_cnt: jnp.ndarray     # divergences in the current tuning window
 
 
 class NUTS(GradientSharedStep):
@@ -336,7 +337,8 @@ class NUTS(GradientSharedStep):
                  target_accept=0.8, step_scale=0.25, Emax=1000,
                  adapt_step_size=True, step_rand=None, potential=None,
                  model=None, scaling=None, is_cov=False,
-                 gamma=0.05, k=0.75, t0=10, axis_name=None, **kwargs):
+                 gamma=0.05, k=0.75, t0=10, axis_name=None,
+                 rescue_stuck=True, **kwargs):
         model = modelcontext(model)
         if vars is None:
             vars = model.cont_vars
@@ -351,6 +353,15 @@ class NUTS(GradientSharedStep):
         self.gamma, self.k, self.t0 = gamma, k, t0
         self.tune = True
         self.axis_name = axis_name
+        # warmup-phase stuck-lane rescue (pooled runs only): at >=8k
+        # jittered chains the odd lane lands in a region where the POOLED
+        # step size diverges every draw and never recovers — one constant
+        # chain craters cross-chain ESS (BENCHMARKS.md r3, 8192-chain
+        # sweep point). Failure detection per SURVEY §5, made TPU-native:
+        # lanes whose tuning window is ~all divergences teleport to the
+        # pooled best-logp lane at window boundaries (tuning is already
+        # non-Markovian, post-tune draws are untouched).
+        self.rescue_stuck = bool(rescue_stuck)
 
         size = self.dim
         self.step_size = float(step_scale) / (size ** 0.25)
@@ -388,7 +399,8 @@ class NUTS(GradientSharedStep):
         da = da_init(jnp.asarray(self.step_size, floatX()),
                      target=self.target_accept)
         pot = self.potential.init_kernel_state()
-        return NutsKernelState(q=x0, logp=logp, grad=grad, da=da, pot=pot)
+        return NutsKernelState(q=x0, logp=logp, grad=grad, da=da, pot=pot,
+                               rescue_cnt=jnp.asarray(0, jnp.int32))
 
     def kernel_step(self, key, q, state: NutsKernelState, tctx: TuneContext):
         q = jnp.asarray(q, floatX())
@@ -451,11 +463,34 @@ class NUTS(GradientSharedStep):
             axis_name=pool) \
             if getattr(self.potential, "adapts", False) else state.pot
 
-        q_new = q.at[self._sub_idx].set(tree.prop.q) if self._partial \
-            else tree.prop.q
-        new_state = NutsKernelState(q=tree.prop.q, logp=tree.prop.logp,
-                                    grad=tree.prop.grad, da=da_new,
-                                    pot=pot_new)
+        new_q, new_logp, new_grad = tree.prop.q, tree.prop.logp, \
+            tree.prop.grad
+        rescue_cnt = state.rescue_cnt
+        if pool is not None and self.rescue_stuck and not self._partial:
+            win, thresh = 100, 90
+            rescue_cnt = jnp.where(
+                tctx.tune,
+                rescue_cnt + tree.diverging.astype(jnp.int32),
+                jnp.asarray(0, jnp.int32))
+            boundary = tctx.tune & (((tctx.step_idx + 1) % win) == 0)
+            stuck = boundary & (rescue_cnt >= thresh)
+            # donor = pooled best-logp lane (ties averaged; identical q)
+            best = jax.lax.pmax(new_logp, pool)
+            is_best = (new_logp == best).astype(floatX())
+            nbest = jax.lax.psum(is_best, pool)
+
+            def donor(x):
+                return jax.lax.psum(x * is_best, pool) / nbest
+
+            new_q = jnp.where(stuck, donor(new_q), new_q)
+            new_logp = jnp.where(stuck, donor(new_logp), new_logp)
+            new_grad = jnp.where(stuck, donor(new_grad), new_grad)
+            rescue_cnt = jnp.where(boundary, 0, rescue_cnt)
+
+        q_new = q.at[self._sub_idx].set(new_q) if self._partial else new_q
+        new_state = NutsKernelState(q=new_q, logp=new_logp,
+                                    grad=new_grad, da=da_new,
+                                    pot=pot_new, rescue_cnt=rescue_cnt)
         stats = {
             "depth": tree.depth,
             "step_size": eps,

@@ -203,3 +203,34 @@ class TestCompoundStateConsistency:
         ndiv = int(np.sum(np.asarray(trace.get_sampler_stats("diverging"))))
         assert ndiv < 8, f"{ndiv} divergences: stale compound kernel state"
         assert abs(float(np.mean(trace["mu"])) - 2.0) < 0.2
+
+
+def test_warmup_stuck_lane_rescue():
+    """Pooled-adaptation failure detection (SURVEY §5, TPU-native): a lane
+    initialized in a pathological region diverges every draw under the
+    POOLED step size and never recovers; with rescue_stuck (default) it
+    teleports to the pooled best-logp lane at a tuning-window boundary and
+    samples normally afterwards."""
+
+    def run(rescue):
+        with pm.Model() as m:
+            sigma = pm.HalfNormal("sigma", 1.0)
+            pm.Normal("obs", 0.0, sigma, observed=np.full(10, 0.5,
+                                                          np.float32))
+        start = [{"sigma_log__": np.float32(0.0)} for _ in range(8)]
+        start[3]["sigma_log__"] = np.float32(-12.0)  # curvature ~ e^24
+        tr = pm.sample(draws=100, tune=250, chains=8, model=m, start=start,
+                       progressbar=False, random_seed=2,
+                       axis_name="chains_local",
+                       nuts={"rescue_stuck": rescue},
+                       compute_convergence_checks=False)
+        div = np.asarray(tr.get_sampler_stats("diverging", combine=False))
+        sig3 = tr.get_values("sigma", chains=[3])
+        return int(div[3].sum()), float(np.median(sig3))
+
+    d_off, s_off = run(False)
+    assert d_off > 90          # reproduces the stuck-lane pathology
+    assert s_off < 1e-3
+    d_on, s_on = run(True)
+    assert d_on < 10
+    assert 0.1 < s_on < 2.0    # recovered to the posterior scale
