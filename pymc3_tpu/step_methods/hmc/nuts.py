@@ -7,13 +7,17 @@ Python/C boundary. That cannot run on an accelerator.
 
 This build uses the standard iterative reformulation: the outer doubling loop
 is a ``lax.while_loop`` over tree depth, and each subtree of ``2^depth``
-leaves is built leaf-by-leaf by an inner ``lax.while_loop`` with **O(log)
-memory U-turn checkpointing** — even-indexed leaves store (momentum,
-cumulative momentum sum) into a ``max_treedepth+1``-row stack; odd leaves
-check the generalized U-turn criterion against the contiguous checkpoint
-range identified by the leaf index's binary structure. Proposal selection is
-progressive multinomial within subtrees and biased across doublings
-(Stan-style, matching the reference's ``logbern`` scheme at
+leaves is built by an inner ``lax.while_loop`` that advances an
+**(even, odd) leaf pair per iteration** with **O(log) memory U-turn
+checkpointing** — the even leaf stores (momentum, cumulative momentum sum)
+into a ``max_treedepth+2``-row stack via a dense one-hot blend (a vmapped
+dynamic-index scatter is pathological on TPU), and the odd leaf checks the
+generalized U-turn criterion against the contiguous checkpoint range
+identified by its index's binary structure. Pairing halves the loop trip
+count and runs the checkpoint/U-turn row math once per pair instead of
+masked every leaf (see ``scripts/bench_nuts_decompose.py``). Proposal
+selection is progressive multinomial within subtrees and biased across
+doublings (Stan-style, matching the reference's ``logbern`` scheme at
 ``nuts.py:254-307``). Divergences trigger at ``ΔE > Emax``
 (``nuts.py:326-345``); the first 200 tuning draws cap the depth at 8
 (``nuts.py:169-172``).

@@ -87,6 +87,7 @@ def main():
                        progressbar=False, random_seed=seed,
                        target_accept=0.95, axis_name="chains_local",
                        discard_tuned_samples=False,
+                       trace=["mu_a"],  # measure the chip, not the tunnel
                        compute_convergence_checks=False)
         return tr, time.time() - t0
 
