@@ -14,10 +14,10 @@ draws stream device->host in fixed blocks so HBM stays bounded.
 
 ``vs_baseline``: the reference (Theano, CPU) cannot run in this image, so
 the documented stand-in baseline is THIS framework on the true-CPU backend
-with the reference benchmark's own configuration (4 chains / 10k draws,
-matching ``benchmarks.py:160-169`` run on 4 cores). Generate it once with
-``python scripts/bench_baseline_cpu.py`` (writes BASELINE_CPU.json);
-vs_baseline = TPU ESS/s divided by that CPU ESS/s.
+at the CONFIG-IDENTICAL draws/tune split (2000/1000, 4 chains — the asv
+chain count, ``benchmarks.py:160-169``). Generate it with
+``BASE_DRAWS=2000 BASE_TUNE=1000 python scripts/bench_baseline_cpu.py``
+(writes BASELINE_CPU.json); vs_baseline = TPU ESS/s / CPU ESS/s.
 """
 import json
 import os
@@ -83,7 +83,7 @@ def main():
 
     draws = int(os.environ.get("BENCH_DRAWS", 2000))
     tune = int(os.environ.get("BENCH_TUNE", 1000))
-    chains = int(os.environ.get("BENCH_CHAINS", 512))
+    chains = int(os.environ.get("BENCH_CHAINS", 2048))
     target_accept = float(os.environ.get("BENCH_TARGET_ACCEPT", 0.9))
     pooled = os.environ.get("BENCH_POOLED", "1") != "0"
 
