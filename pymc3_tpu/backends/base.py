@@ -218,27 +218,25 @@ class MultiTrace:
         return accessor()
 
     def __len__(self):
-        chain = self.chains[-1]
-        return len(self._straces[chain])
+        return len(self._straces[self.chains[-1]])
 
     @property
     def varnames(self):
-        chain = self.chains[-1]
-        return self._straces[chain].varnames
+        return self._straces[self.chains[-1]].varnames
 
     @property
     def stat_names(self):
-        if not self._straces:
-            return set()
-        sampler_vars = [s.sampler_vars for s in self._straces.values()]
-        if not all(svars == sampler_vars[0] for svars in sampler_vars):
-            raise ValueError("Inividual chains contain different sampler stats")
+        """Union of per-chain sampler-statistic names; all chains must
+        share one layout (they come from the same jitted kernel)."""
         names = set()
-        for trace in self._straces.values():
-            if trace.sampler_vars is None:
-                continue
-            for vars_ in trace.sampler_vars:
-                names.update(vars_.keys())
+        layout = None
+        for strace in self._straces.values():
+            if layout is None:
+                layout = strace.sampler_vars
+            elif strace.sampler_vars != layout:
+                raise ValueError(
+                    "Chains do not share a common sampler-statistic layout")
+            names |= strace.stat_names
         return names
 
     def add_values(self, vals, overwrite=False) -> None:
