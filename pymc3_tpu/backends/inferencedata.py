@@ -91,6 +91,13 @@ def _pointwise_log_likelihood(trace, model):
     from ..config import floatX
 
     chains = trace.chains
+    missing = [vm.var for vm in model.ordering.vmap
+               if vm.var not in trace.varnames]
+    if missing:
+        raise ValueError(
+            "log_likelihood requires every free variable in the trace; "
+            f"missing {missing} (was sampling run with a subset "
+            "trace=[...]?)")
     cols = []
     for vm in model.ordering.vmap:
         per_chain = [np.asarray(trace.get_values(vm.var, chains=[c]))
