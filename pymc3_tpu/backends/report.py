@@ -5,6 +5,11 @@
 (``report.py:101-168``). The reference delegates rhat/ess to ArviZ; this
 build computes them natively (``pymc3_tpu/stats``) — on-device when traces
 are device arrays.
+
+Internally the report is a flat journal of ``(chain, warning)`` events;
+the per-chain / global split the reference keeps as two containers is
+derived on demand, and the tiered convergence thresholds live in
+declarative tables rather than an if/elif ladder.
 """
 from __future__ import annotations
 
@@ -41,13 +46,32 @@ SamplerWarning = namedtuple(
 SamplerWarning.__new__.__defaults__ = (None, None, None)
 
 
-_LEVELS = {
-    "info": logging.INFO,
-    "error": logging.ERROR,
-    "warn": logging.WARNING,
-    "debug": logging.DEBUG,
-    "critical": logging.CRITICAL,
-}
+def _severity(level: str) -> int:
+    """Numeric severity of a warning-level string ('debug'..'critical')."""
+    return logging.getLevelName(
+        {"warn": "WARNING"}.get(level, level).upper())
+
+
+# Tiered convergence tables (threshold descending → first hit wins),
+# mirroring the reference's ladder at ``report.py:126-166``.
+_RHAT_TIERS = (
+    (1.4, "error", "The rhat statistic is larger than 1.4 for some "
+                   "parameters. The sampler did not converge."),
+    (1.2, "warn", "The rhat statistic is larger than 1.2 for some "
+                  "parameters."),
+    (1.05, "info", "The rhat statistic is larger than 1.05 for some "
+                   "parameters. This indicates slight problems during "
+                   "sampling."),
+)
+
+_ESS_FRAC_TIERS = (
+    (0.1, "warn", "The number of effective samples is smaller than "
+                  "10% for some parameters."),
+    (0.25, "info", "The number of effective samples is smaller than "
+                   "25% for some parameters."),
+)
+
+_GLOBAL = None  # chain id for run-level (non-chain) warnings
 
 
 class SamplerReport:
@@ -55,24 +79,39 @@ class SamplerReport:
     (cf. ``report.py:54``)."""
 
     def __init__(self):
-        self._chain_warnings = {}
-        self._global_warnings = []
+        self._events = []  # journal of (chain-or-None, SamplerWarning)
         self._ess = None
         self._rhat = None
         self._n_tune = None
         self._n_draws = None
         self._t_sampling = None
 
+    # -- derived views over the journal ---------------------------------
+    @property
+    def _chain_warnings(self):
+        by_chain = {}
+        for chain, warn in self._events:
+            if chain is not _GLOBAL:
+                by_chain.setdefault(chain, []).append(warn)
+        return by_chain
+
+    @property
+    def _global_warnings(self):
+        return [w for c, w in self._events if c is _GLOBAL]
+
     @property
     def _warnings(self):
-        chains = sum(self._chain_warnings.values(), [])
-        return chains + self._global_warnings
+        # chain events first, then global — the reference's concat order
+        ordered = sorted(self._events,
+                         key=lambda cw: cw[0] is _GLOBAL)
+        return [w for _, w in ordered]
 
     @property
     def ok(self):
         """Whether the automatic convergence checks found serious problems."""
-        return all(_LEVELS[warn.level] < _LEVELS["warn"]
-                   for warn in self._warnings)
+        worst = max((_severity(w.level) for _, w in self._events),
+                    default=logging.NOTSET)
+        return worst < logging.WARNING
 
     @property
     def n_tune(self) -> Optional[int]:
@@ -89,8 +128,8 @@ class SamplerReport:
         return self._t_sampling
 
     def raise_ok(self, level="error"):
-        errors = [warn for warn in self._warnings
-                  if _LEVELS[warn.level] >= _LEVELS[level]]
+        bar = _severity(level)
+        errors = [w for _, w in self._events if _severity(w.level) >= bar]
         if errors:
             raise ValueError(f"Serious convergence issues during sampling. "
                              f"{errors}")
@@ -99,109 +138,78 @@ class SamplerReport:
         """cf. ``report.py:101-168`` — R-hat thresholds 1.05/1.2/1.4 and
         ESS thresholds vs chain count."""
         if trace.nchains == 1:
-            msg = ("Only one chain was sampled, this makes it impossible to "
-                   "run some convergence checks")
-            warn = SamplerWarning(WarningType.BAD_PARAMS, msg, "info",
-                                  None, None, None)
-            self._add_warnings([warn])
+            self._add_warnings([SamplerWarning(
+                WarningType.BAD_PARAMS,
+                "Only one chain was sampled, this makes it impossible to "
+                "run some convergence checks", "info", None, None, None)])
             return
 
         from ..stats import ess as _ess, rhat as _rhat
-        valid_name = [rv.name for rv in model.free_RVs + model.deterministics]
         varnames = []
         for rv in model.free_RVs:
-            rv_name = rv.name
-            if rv_name in trace.varnames:
-                varnames.append(rv_name)
-            orig = getattr(rv, "orig_name", rv_name)
-            if orig != rv_name and orig in trace.varnames:
-                varnames.append(orig)
+            for candidate in dict.fromkeys(
+                    (rv.name, getattr(rv, "orig_name", rv.name))):
+                if candidate in trace.varnames:
+                    varnames.append(candidate)
 
-        self._ess = ess_vals = {v: _ess(trace, var_names=[v])[v]
-                                for v in varnames}
-        self._rhat = rhat_vals = {v: _rhat(trace, var_names=[v])[v]
-                                  for v in varnames}
+        self._ess = {v: _ess(trace, var_names=[v])[v] for v in varnames}
+        self._rhat = {v: _rhat(trace, var_names=[v])[v] for v in varnames}
 
-        warnings_ = []
-        rhat_max = max((np.max(x) for x in rhat_vals.values()), default=0)
-        if rhat_max > 1.4:
-            msg = ("The rhat statistic is larger than 1.4 for some "
-                   "parameters. The sampler did not converge.")
-            warnings_.append(SamplerWarning(
-                WarningType.CONVERGENCE, msg, "error", None, None, rhat_vals))
-        elif rhat_max > 1.2:
-            msg = ("The rhat statistic is larger than 1.2 for some "
-                   "parameters.")
-            warnings_.append(SamplerWarning(
-                WarningType.CONVERGENCE, msg, "warn", None, None, rhat_vals))
-        elif rhat_max > 1.05:
-            msg = ("The rhat statistic is larger than 1.05 for some "
-                   "parameters. This indicates slight problems during "
-                   "sampling.")
-            warnings_.append(SamplerWarning(
-                WarningType.CONVERGENCE, msg, "info", None, None, rhat_vals))
+        found = []
+        rhat_max = max((np.max(x) for x in self._rhat.values()), default=0)
+        for threshold, level, msg in _RHAT_TIERS:
+            if rhat_max > threshold:
+                found.append(SamplerWarning(
+                    WarningType.CONVERGENCE, msg, level,
+                    None, None, self._rhat))
+                break
 
-        eff_min = min((np.min(x) for x in ess_vals.values()), default=np.inf)
+        eff_min = min((np.min(x) for x in self._ess.values()),
+                      default=np.inf)
         n_samples = len(trace) * trace.nchains
         if eff_min < 200 and n_samples >= 500:
-            msg = ("The estimated number of effective samples is smaller than "
-                   "200 for some parameters.")
-            warnings_.append(SamplerWarning(
-                WarningType.CONVERGENCE, msg, "error", None, None, ess_vals))
-        elif eff_min / n_samples < 0.1:
-            msg = "The number of effective samples is smaller than 10% for some parameters."
-            warnings_.append(SamplerWarning(
-                WarningType.CONVERGENCE, msg, "warn", None, None, ess_vals))
-        elif eff_min / n_samples < 0.25:
-            msg = "The number of effective samples is smaller than 25% for some parameters."
-            warnings_.append(SamplerWarning(
-                WarningType.CONVERGENCE, msg, "info", None, None, ess_vals))
-
-        self._add_warnings(warnings_)
-
-    def _add_warnings(self, warnings, chain=None):
-        if chain is None:
-            warn_list = self._global_warnings
+            found.append(SamplerWarning(
+                WarningType.CONVERGENCE,
+                "The estimated number of effective samples is smaller than "
+                "200 for some parameters.", "error", None, None, self._ess))
         else:
-            warn_list = self._chain_warnings.setdefault(chain, [])
-        warn_list.extend(warnings)
+            for frac, level, msg in _ESS_FRAC_TIERS:
+                if eff_min / n_samples < frac:
+                    found.append(SamplerWarning(
+                        WarningType.CONVERGENCE, msg, level,
+                        None, None, self._ess))
+                    break
+
+        self._add_warnings(found)
+
+    def _add_warnings(self, warnings, chain=_GLOBAL):
+        self._events.extend((chain, w) for w in warnings)
 
     def _log_summary(self):
-        def log_warning(warn):
-            level = _LEVELS[warn.level]
-            logger.log(level, warn.message)
-
-        for chain, warns in self._chain_warnings.items():
-            for warn in warns:
-                log_warning(warn)
-        for warn in self._global_warnings:
-            log_warning(warn)
+        for _, warn in self._events:
+            logger.log(_severity(warn.level), warn.message)
 
     def _slice(self, start, stop, step):
+        """Report for a ``trace[start:stop:step]`` view: keep step-less
+        warnings, rebase in-window step indices."""
+        def rebased(warn):
+            if warn.step is None:
+                return warn
+            in_window = start <= warn.step < stop \
+                and (warn.step - start) % step == 0
+            return warn._replace(step=warn.step - start) if in_window \
+                else None
+
         report = SamplerReport()
-
-        def filter_warns(warnings):
-            out = []
-            for warn in warnings:
-                if warn.step is None:
-                    out.append(warn)
-                elif start <= warn.step < stop and \
-                        (warn.step - start) % step == 0:
-                    out.append(warn._replace(step=warn.step - start))
-            return out
-
-        report._add_warnings(filter_warns(self._global_warnings))
-        for chain in self._chain_warnings:
-            report._add_warnings(filter_warns(self._chain_warnings[chain]),
-                                 chain)
+        report._events = [
+            (chain, w) for chain, w in
+            ((c, rebased(w)) for c, w in self._events) if w is not None]
         return report
 
 
 def merge_reports(reports):
     """cf. ``report.py:211``."""
-    report = SamplerReport()
+    merged = SamplerReport()
     for rep in reports:
-        report._add_warnings(rep._global_warnings)
-        for chain in rep._chain_warnings:
-            report._add_warnings(rep._chain_warnings[chain], chain)
-    return report
+        merged._events.extend(rep._events)
+    return merged

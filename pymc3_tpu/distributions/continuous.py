@@ -668,7 +668,11 @@ class Pareto(Continuous):
         self.alpha = as_node(floatX(alpha) if not isinstance(alpha, Node) else alpha)
         self.m = as_node(floatX(m) if not isinstance(m, Node) else m)
         self.mean = apply(
-            lambda a, m: jnp.where(a > 1, a * m / (a - 1.0), jnp.inf),
+            # double-where so a == 1 never divides by zero (the undefined
+            # branch still reports inf, without a RuntimeWarning)
+            lambda a, m: jnp.where(a > 1,
+                                   a * m / jnp.where(a > 1, a - 1.0, 1.0),
+                                   jnp.inf),
             self.alpha, self.m)
         self.median = apply(lambda a, m: m * 2.0 ** (1.0 / a),
                             self.alpha, self.m)

@@ -100,9 +100,9 @@ class DifferentialEquation:
         # uses it, ``benchmarks.py:225``): the first observation then IS
         # the initial condition
         if np.any(np.diff(self.times) <= 0) or t0 > self.times[0]:
-            raise ValueError("The initial time t0 must be smaller than the "
-                             "first observation time, and times must be "
-                             "strictly increasing.")
+            raise ValueError("The initial time t0 must be less than or "
+                             "equal to the first observation time, and "
+                             "times must be strictly increasing.")
         if t0 == self.times[0] and len(self.times) < 2:
             raise ValueError("With t0 == times[0] at least two observation "
                              "times are required.")

@@ -237,6 +237,9 @@ def sample(draws=500, step=None, init="auto", n_init=200000, start=None,
     mtrace.report._n_tune = tune
     mtrace.report._n_draws = draws
     mtrace.report._t_sampling = t_sampling
+    # compile accounting (lower_s + compile_s; a persistent-cache warm
+    # start shows up here as compile_s ~ 0)
+    mtrace.report._t_compile = result.get("compile_info")
 
     # divergence warnings (cf. NUTS warnings, nuts.py:420-460)
     _attach_sample_stats_warnings(mtrace, step, tune, model)
@@ -463,6 +466,23 @@ def _device_sample(model, step, q0, draws, tune, random_seed, progressbar,
         init_carry = (chain_keys, jnp.asarray(q0), init_state)
         time_axis = 1  # outputs are (chains, block, ...)
 
+    # -- AOT compile, timed apart from the run ---------------------------
+    # ``lower()`` traces the block program; ``compile()`` is pure XLA
+    # compilation (a persistent-cache hit returns in ~ms — see
+    # ``config.enable_compilation_cache``). Keeping these off the first
+    # block's wall makes compile cost a first-class, separately reported
+    # number instead of being folded into "first run is slow".
+    idxs0 = jnp.arange(0, block, dtype=jnp.int32)
+    t0 = time.time()
+    lowered = run_block.lower(init_carry, idxs0)
+    t_lower = time.time() - t0
+    t0 = time.time()
+    run_block = lowered.compile()
+    t_compile = time.time() - t0
+    compile_info = {"lower_s": round(t_lower, 3),
+                    "compile_s": round(t_compile, 3),
+                    "block": block, "n_blocks": n_blocks}
+
     # -- host streaming loop with async double-buffering ---------------------
     host_vals = {name: [] for name in varnames}
     host_stats = None
@@ -576,7 +596,7 @@ def _device_sample(model, step, q0, draws, tune, random_seed, progressbar,
         stats_out.append({k: _cat(v) for k, v in acc.items()})
     return {"values": values, "stats": stats_out,
             "final_state": carry[2], "completed": completed,
-            "interrupted": interrupted}
+            "interrupted": interrupted, "compile_info": compile_info}
 
 
 def _flush_to_traces(model, step, result, trace_arg, chain_idx, chains,

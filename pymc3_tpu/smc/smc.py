@@ -130,7 +130,11 @@ def _particle_cov_chol(X):
     cov = (Xc.T @ Xc) / n
     cov = jnp.atleast_2d(cov) + 1e-6 * jnp.eye(X.shape[1], dtype=X.dtype)
     chol = jnp.linalg.cholesky(cov)
-    ok = jnp.isfinite(cov).all()
+    # A float32 Gram matrix can be finite yet numerically indefinite beyond
+    # the jitter, giving a NaN factor from a finite cov — validate BOTH so
+    # update_proposal raises like the reference instead of silently
+    # proposing NaN deltas (cf. np.linalg.cholesky raise, ``smc.py:215``).
+    ok = jnp.isfinite(cov).all() & jnp.isfinite(chol).all()
     return cov, chol, ok
 
 

@@ -478,17 +478,34 @@ class NUTS(GradientSharedStep):
                 jnp.asarray(0, jnp.int32))
             boundary = tctx.tune & (((tctx.step_idx + 1) % win) == 0)
             stuck = boundary & (rescue_cnt >= thresh)
-            # donor = pooled best-logp lane (ties averaged; identical q)
-            best = jax.lax.pmax(new_logp, pool)
-            is_best = (new_logp == best).astype(floatX())
-            nbest = jax.lax.psum(is_best, pool)
+            # donor = first pooled lane attaining the best FINITE logp.
+            # Exact ties (symmetric posteriors in f32) are broken by global
+            # lane index so q/logp/grad all come from ONE consistent lane,
+            # and a NaN/-inf lane can never poison the pmax or be teleport
+            # target material.
+            axes = pool if isinstance(pool, tuple) else (pool,)
+            lane = jnp.asarray(0, jnp.int32)
+            for a in axes:
+                lane = lane * jax.lax.psum(jnp.asarray(1, jnp.int32), a) \
+                    + jax.lax.axis_index(a)
+            finite = jnp.isfinite(new_logp)
+            score = jnp.where(finite, new_logp, -jnp.inf)
+            best = jax.lax.pmax(score, pool)
+            sentinel = jnp.iinfo(jnp.int32).max
+            cand = jnp.where(finite & (score == best), lane, sentinel)
+            donor_lane = jax.lax.pmin(cand, pool)
+            is_best = (lane == donor_lane).astype(floatX())
+            have_donor = jnp.isfinite(best) & (donor_lane != sentinel)
+            apply = stuck & have_donor
 
             def donor(x):
-                return jax.lax.psum(x * is_best, pool) / nbest
+                # where (not *) so a NaN on a non-donor lane can't poison
+                # the psum through 0 * NaN
+                return jax.lax.psum(jnp.where(is_best > 0, x, 0.), pool)
 
-            new_q = jnp.where(stuck, donor(new_q), new_q)
-            new_logp = jnp.where(stuck, donor(new_logp), new_logp)
-            new_grad = jnp.where(stuck, donor(new_grad), new_grad)
+            new_q = jnp.where(apply, donor(new_q), new_q)
+            new_logp = jnp.where(apply, donor(new_logp), new_logp)
+            new_grad = jnp.where(apply, donor(new_grad), new_grad)
             rescue_cnt = jnp.where(boundary, 0, rescue_cnt)
 
         q_new = q.at[self._sub_idx].set(new_q) if self._partial else new_q

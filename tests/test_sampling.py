@@ -152,6 +152,9 @@ class TestSamplePPC:
 
 
 class TestIterSample:
+    """Sequential host-path generator (cf. ``iter_sample``,
+    ``pymc3/sampling.py:581`` — cumulative-trace semantics)."""
+
     def test_iter(self):
         _, model, _ = models.simple_model()
         with model:
@@ -160,11 +163,6 @@ class TestIterSample:
                                          random_seed=1))
         assert len(traces) == 20
         assert len(traces[-1]) == 20
-
-
-class TestIterSample:
-    """Sequential host-path generator (cf. ``iter_sample``,
-    ``pymc3/sampling.py:581`` — cumulative-trace semantics)."""
 
     def test_cumulative_nuts(self):
         start, model, _ = models.simple_model()
