@@ -247,6 +247,10 @@ class Stationary(Covariance):
                 ls = node_apply(lambda v: 1.0 / v, ls_inv)
             else:
                 ls = 1.0 / ls_inv
+        # ARD lengthscales arrive as python lists in the reference API
+        # (e.g. ExpQuad(3, [0.1, 0.2, 0.3]), ``test_gp.py:700``)
+        if isinstance(ls, (list, tuple)):
+            ls = np.asarray(ls)
         self.ls = ls
 
     @staticmethod

@@ -382,7 +382,7 @@ class MarginalSparse(Marginal):
         cov_func = self.cov_func
         mean_func = self.mean_func
 
-        def cond(X_, Xu_, y_, sigma_, mu_, Xs_):
+        def cond(X_, Xu_, y_, sigma_, mu_, ms_, Xs_):
             import jax.scipy.linalg as jsl
             X_ = jnp.asarray(X_, floatX())
             Xu_ = jnp.asarray(Xu_, floatX())
@@ -408,7 +408,10 @@ class MarginalSparse(Marginal):
             c = jsl.solve_triangular(L_B, A @ r_l, lower=True)
             Kus = _eval_cov(cov_func, Xu_, Xs_)
             As = jsl.solve_triangular(Luu, Kus, lower=True)
-            mus = As.T @ jsl.solve_triangular(L_B.T, c, lower=False)
+            # conditional mean includes the mean function at Xnew
+            # (cf. ``gp.py:746``) — r was centered by mu_ above
+            mus = jnp.asarray(ms_, floatX()) + \
+                As.T @ jsl.solve_triangular(L_B.T, c, lower=False)
             C = jsl.solve_triangular(L_B, As, lower=True)
             if diag:
                 Kss = _eval_cov_diag(cov_func, Xs_)
@@ -424,9 +427,11 @@ class MarginalSparse(Marginal):
             return mus, cov_
 
         mu_node = mean_total(X)
+        ms_node = mean_total(Xnew)
         out = node_apply(
-            lambda X_, Xu_, y_, s_, m_, Xs_: cond(X_, Xu_, y_, s_, m_, Xs_),
-            X, Xu, y, sigma, mu_node, Xnew)
+            lambda X_, Xu_, y_, s_, m_, ms_, Xs_:
+            cond(X_, Xu_, y_, s_, m_, ms_, Xs_),
+            X, Xu, y, sigma, mu_node, ms_node, Xnew)
         # split the tuple node into mean/cov nodes
         mu = node_apply(lambda t: t[0], out)
         cov = node_apply(lambda t: t[1], out)
@@ -532,7 +537,7 @@ class LatentKron(Base):
         covs = [stabilize(func(as_node(x.test_value)))
                 for func, x in zip(self.cov_funcs, Xs)]
 
-        def cond(delta_, Xnew_, *Ks):
+        def cond(delta_, ms_, Xnew_, *Ks):
             import jax.scipy.linalg as jsl
             K = Ks[0]
             for Kk in Ks[1:]:
@@ -541,10 +546,13 @@ class LatentKron(Base):
             Kxs = _eval_cov(self.cov_func, X, np.asarray(Xnew_))
             A = jsl.solve_triangular(L, Kxs, lower=True)
             v_ = jsl.solve_triangular(L, delta_, lower=True)
-            mu_ = A.T @ v_
+            # conditional mean includes the mean function at Xnew
+            # (cf. ``gp.py:930``) — delta was centered at the grid
+            mu_ = jnp.asarray(ms_, floatX()) + A.T @ v_
             Kss = _eval_cov(self.cov_func, np.asarray(Xnew_))
             return mu_, Kss - A.T @ A
-        out = node_apply(cond, delta, as_node(Xnew), *covs)
+        out = node_apply(cond, delta, self.mean_func(as_node(Xnew)),
+                         as_node(Xnew), *covs)
         mu = node_apply(lambda t: t[0], out)
         cov = node_apply(lambda t: t[1], out)
         return mu, cov
@@ -626,7 +634,7 @@ class MarginalKron(Base):
                 for f, x in zip(self.cov_funcs, Xs)]
         mu_node = self.mean_func(as_node(X))
 
-        def cond(y_, sigma_, mu_, Xnew_, *Ks):
+        def cond(y_, sigma_, mu_, ms_, Xnew_, *Ks):
             import jax.scipy.linalg as jsl
             K = Ks[0]
             for Kk in Ks[1:]:
@@ -638,14 +646,18 @@ class MarginalKron(Base):
             Kxs = _eval_cov(self.cov_func, X, np.asarray(Xnew_))
             A = jsl.solve_triangular(L, Kxs, lower=True)
             v_ = jsl.solve_triangular(L, r, lower=True)
-            mus = A.T @ v_
+            # conditional mean includes the mean function at Xnew
+            # (cf. ``gp.py:1105``)
+            mus = jnp.asarray(ms_, floatX()) + A.T @ v_
             Kss = _eval_cov(self.cov_func, np.asarray(Xnew_))
             cov_ = Kss - A.T @ A
             if pred_noise:
                 cov_ = cov_ + sigma2 * jnp.eye(cov_.shape[0],
                                                dtype=floatX())
             return mus, cov_
-        out = node_apply(cond, y, sigma, mu_node, as_node(Xnew), *covs)
+        out = node_apply(cond, y, sigma, mu_node,
+                         self.mean_func(as_node(Xnew)), as_node(Xnew),
+                         *covs)
         mu = node_apply(lambda t: t[0], out)
         cov = node_apply(lambda t: t[1], out)
         return mu, cov

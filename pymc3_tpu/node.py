@@ -317,8 +317,13 @@ class OpNode(Node):
         self.name = name
         if test_value is None:
             tv_args = [_to_test(a) for a in self.args]
-            test_value = np.asarray(fn(*tv_args, **self.kwargs))
-        self._test_value = np.asarray(test_value)
+            test_value = fn(*tv_args, **self.kwargs)
+        # multi-output ops (e.g. a GP conditional's (mu, cov)) carry a
+        # tuple test value; downstream selector nodes index into it
+        if isinstance(test_value, (tuple, list)):
+            self._test_value = tuple(np.asarray(v) for v in test_value)
+        else:
+            self._test_value = np.asarray(test_value)
 
     def _eval(self, env, memo):
         vals = [_ev(a, env, memo) for a in self.args]
@@ -344,7 +349,12 @@ def apply(fn: Callable, *args, **kwargs) -> Node:
     pure-constant subgraphs are folded at model-build time.
     """
     if not any(isinstance(a, Node) for a in args):
-        return ConstantNode(np.asarray(fn(*[np.asarray(a) for a in args], **kwargs)))
+        out = fn(*[np.asarray(a) for a in args], **kwargs)
+        if not isinstance(out, (tuple, list)):
+            return ConstantNode(np.asarray(out))
+        # tuple-valued op over constants: keep it an OpNode so selector
+        # nodes can index the outputs
+        return OpNode(fn, args, kwargs, test_value=out)
     return OpNode(fn, args, kwargs)
 
 

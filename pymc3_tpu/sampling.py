@@ -161,12 +161,31 @@ def sample(draws=500, step=None, init="auto", n_init=200000, start=None,
         raise ValueError("Argument `draws` must be greater than 0.")
 
     # -- step method selection (cf. sampling.py:486-538) ---------------------
+    _stepper_names = ("nuts", "hmc", "metropolis", "slice", "DEMetropolis",
+                      "DEMetropolisZ", "binary_metropolis",
+                      "binary_gibbs_metropolis",
+                      "categorical_gibbs_metropolis")
     step_kwargs = {}
-    for name in ("nuts", "hmc", "metropolis", "slice", "DEMetropolis",
-                 "DEMetropolisZ", "binary_metropolis",
-                 "binary_gibbs_metropolis", "categorical_gibbs_metropolis"):
+    for name in _stepper_names:
         if name in kwargs:
             step_kwargs[name] = kwargs.pop(name)
+    # legacy spelling: sample(step_kwargs={'nuts': {...}}) — keys must name
+    # known steppers (cf. the reference's validation, tested at
+    # ``tests/test_sampling.py:99``)
+    legacy = kwargs.pop("step_kwargs", None)
+    if legacy:
+        bad = set(legacy) - set(_stepper_names)
+        if bad:
+            raise ValueError(
+                f"Unknown step method(s) in step_kwargs: {sorted(bad)!r}; "
+                f"valid names are {list(_stepper_names)}")
+        step_kwargs.update(legacy)
+    block_size = kwargs.pop("block_size", None)
+    if kwargs:
+        raise ValueError(
+            f"Unknown keyword argument(s) for sample: {sorted(kwargs)!r}. "
+            f"Step-method arguments are passed by stepper name, e.g. "
+            f"sample(..., nuts={{'target_accept': 0.9}}).")
 
     start_points = None
     if step is None and init is not None and all_continuous(model.free_RVs):
@@ -213,7 +232,7 @@ def sample(draws=500, step=None, init="auto", n_init=200000, start=None,
         model=model, step=step, q0=q0, draws=draws, tune=tune,
         random_seed=random_seed, progressbar=progressbar,
         axis_name=axis_name, devices=devices, callback=callback,
-        block_size=kwargs.pop("block_size", None), keep_from=keep_from,
+        block_size=block_size, keep_from=keep_from,
         trace_vars=trace_vars)
     t_sampling = time.time() - t_start
 

@@ -21,6 +21,8 @@ from .integration import IntegrationState, leapfrog
 from .nuts import NutsKernelState  # same state layout
 from .quadpotential import (
     QuadPotentialDiagAdapt, diag_adapt_update, diag_random,
+    DenseAdaptState, dense_adapt_update, mass_velocity, kernel_mass,
+    kernel_momentum,
 )
 
 __all__ = ["HamiltonianMC"]
@@ -106,8 +108,8 @@ class HamiltonianMC(GradientSharedStep):
         k_mom, k_acc = jax.random.split(key)
 
         eps = da_current(state.da, tctx.tune)
-        var = state.pot.var
-        p0 = diag_random(k_mom, state.pot.inv_stds)
+        var = kernel_mass(state.pot)
+        p0 = kernel_momentum(k_mom, state.pot)
 
         x0 = q[self._sub_idx] if self._partial else q
         if self._partial:
@@ -116,7 +118,7 @@ class HamiltonianMC(GradientSharedStep):
             logp0, grad0 = lp_fn(x0)
         else:
             logp0, grad0 = state.logp, state.grad
-        v0 = var * p0
+        v0 = mass_velocity(var, p0)
         h0 = 0.5 * jnp.dot(p0, v0) - logp0
         start = IntegrationState(q=x0, p=p0, v=v0, q_grad=grad0,
                                  energy=h0, model_logp=logp0)
@@ -154,11 +156,20 @@ class HamiltonianMC(GradientSharedStep):
         if self.axis_name is not None:
             from ...parallel import pooled_axes
             pool = pooled_axes(self.axis_name)
-        pot_new = diag_adapt_update(
-            state.pot, x_new, tctx.tune,
-            adaptation_window=getattr(self.potential, "adaptation_window", 101),
-            axis_name=pool) \
-            if getattr(self.potential, "adapts", False) else state.pot
+        if not getattr(self.potential, "adapts", False):
+            pot_new = state.pot
+        elif isinstance(state.pot, DenseAdaptState):
+            pot_new = dense_adapt_update(
+                state.pot, x_new, tctx.tune,
+                window_multiplier=getattr(
+                    self.potential, "adaptation_window_multiplier", 2.0),
+                axis_name=pool)
+        else:
+            pot_new = diag_adapt_update(
+                state.pot, x_new, tctx.tune,
+                adaptation_window=getattr(
+                    self.potential, "adaptation_window", 101),
+                axis_name=pool)
 
         q_new = q.at[self._sub_idx].set(x_new) if self._partial else x_new
         new_state = NutsKernelState(q=x_new, logp=logp_new, grad=grad_new,

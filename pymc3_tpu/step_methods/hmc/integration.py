@@ -13,6 +13,7 @@ from typing import Callable, NamedTuple
 import jax.numpy as jnp
 
 from ...config import floatX
+from .quadpotential import mass_velocity
 
 __all__ = ["IntegrationState", "leapfrog", "compute_state", "IntegrationError"]
 
@@ -35,7 +36,7 @@ class IntegrationState(NamedTuple):
 def compute_state(logp_dlogp_fn: Callable, var, q, p) -> IntegrationState:
     """Compute Hamiltonian state at (q, p) (cf. ``integration.py:39``)."""
     logp, grad = logp_dlogp_fn(q)
-    v = var * p
+    v = mass_velocity(var, p)
     kinetic = 0.5 * jnp.dot(p, v)
     return IntegrationState(q=q, p=p, v=v, q_grad=grad,
                             energy=kinetic - logp, model_logp=logp)
@@ -47,18 +48,19 @@ def leapfrog(logp_dlogp_fn: Callable, var, epsilon,
     ``integration.py:81-109``): half kick, drift, half kick.
 
     ``epsilon`` may be negative (backwards integration for the NUTS left
-    expansion). ``var`` is the M^{-1} diagonal. Fully traceable; when the
+    expansion). ``var`` is the inverse mass — an (n,) diagonal or an (n,n)
+    dense matrix (``mass_velocity`` dispatches). Fully traceable; when the
     caller vmaps over chains every chain advances in lockstep on the VPU/MXU.
     """
     epsilon = jnp.asarray(epsilon, dtype=floatX())
     axpy = lambda a, x, y: y + a * x
 
     p_half = axpy(0.5 * epsilon, state.q_grad, state.p)       # half kick
-    v_half = var * p_half
+    v_half = mass_velocity(var, p_half)
     q_new = axpy(epsilon, v_half, state.q)                    # drift
     logp, q_grad_new = logp_dlogp_fn(q_new)
     p_new = axpy(0.5 * epsilon, q_grad_new, p_half)           # half kick
-    v_new = var * p_new
+    v_new = mass_velocity(var, p_new)
     kinetic = 0.5 * jnp.dot(p_new, v_new)
     return IntegrationState(q=q_new, p=p_new, v=v_new, q_grad=q_grad_new,
                             energy=kinetic - logp, model_logp=logp)
@@ -75,8 +77,9 @@ class CpuLeapfrogIntegrator:
     def _var(self):
         import numpy as np
         import jax.numpy as jnp
+        from .quadpotential import kernel_mass
         st = self._potential.init_kernel_state()
-        return jnp.asarray(st.var)
+        return jnp.asarray(kernel_mass(st))
 
     def compute_state(self, q, p):
         import jax

@@ -42,7 +42,8 @@ from ..step_sizes import DAState, da_init, da_update, da_current
 from .integration import IntegrationState, leapfrog, compute_state
 from .quadpotential import (
     DiagAdaptState, diag_adapt_init, diag_adapt_update, diag_random,
-    QuadPotentialDiagAdapt,
+    DenseAdaptState, dense_adapt_update, mass_velocity, kernel_mass,
+    kernel_momentum, QuadPotentialDiagAdapt,
 )
 
 __all__ = ["NUTS"]
@@ -68,8 +69,8 @@ def _is_turning(var, p_left, p_right, rho):
     """Generalized U-turn criterion (cf. ``nuts.py:299-307``):
     the trajectory turns if the momentum sum points against the velocity at
     either end."""
-    v_left = var * p_left
-    v_right = var * p_right
+    v_left = mass_velocity(var, p_left)
+    v_right = mass_velocity(var, p_right)
     return (jnp.dot(rho, v_left) <= 0) | (jnp.dot(rho, v_right) <= 0)
 
 
@@ -181,8 +182,8 @@ def _build_subtree(key, edge0, eps_signed, n_leaves, h0, var, logp_dlogp_fn,
         idx_min = idx_max - _trailing_ones(leaf + 1) + 1
         active_rows = active_b & (rows >= idx_min) & (rows <= idx_max)
         span_sums = p_sum_b[None, :] - s_ckpts + r_ckpts
-        v_l = var[None, :] * r_ckpts
-        v_r = var * edge_b.p
+        v_l = mass_velocity(var, r_ckpts)
+        v_r = mass_velocity(var, edge_b.p)
         t_rows = (jnp.einsum("dn,dn->d", span_sums, v_l) <= 0) | \
                  (span_sums @ v_r <= 0)
         turning = jnp.any(active_rows & t_rows)
@@ -412,8 +413,10 @@ class NUTS(GradientSharedStep):
         k_mom, k_tree = jax.random.split(key)
 
         eps = da_current(state.da, tctx.tune)
-        var = state.pot.var
-        p0 = diag_random(k_mom, state.pot.inv_stds)
+        # inverse mass: (n,) diagonal or (n,n) dense — resolved at trace
+        # time from the potential's kernel-state type
+        var = kernel_mass(state.pot)
+        p0 = kernel_momentum(k_mom, state.pot)
 
         x0 = q[self._sub_idx] if self._partial else q
         if self._partial:
@@ -422,7 +425,7 @@ class NUTS(GradientSharedStep):
             logp0, grad0 = lp_fn(x0)
         else:
             logp0, grad0 = state.logp, state.grad
-        v0 = var * p0
+        v0 = mass_velocity(var, p0)
         kinetic = 0.5 * jnp.dot(p0, v0)
         start = IntegrationState(q=x0, p=p0, v=v0, q_grad=grad0,
                                  energy=kinetic - logp0,
@@ -461,11 +464,20 @@ class NUTS(GradientSharedStep):
                            tctx.tune & self.adapt_step_size,
                            target=self.target_accept, gamma=self.gamma,
                            k=self.k, t0=self.t0)
-        pot_new = diag_adapt_update(
-            state.pot, tree.prop.q, tctx.tune,
-            adaptation_window=getattr(self.potential, "adaptation_window", 101),
-            axis_name=pool) \
-            if getattr(self.potential, "adapts", False) else state.pot
+        if not getattr(self.potential, "adapts", False):
+            pot_new = state.pot
+        elif isinstance(state.pot, DenseAdaptState):
+            pot_new = dense_adapt_update(
+                state.pot, tree.prop.q, tctx.tune,
+                window_multiplier=getattr(
+                    self.potential, "adaptation_window_multiplier", 2.0),
+                axis_name=pool)
+        else:
+            pot_new = diag_adapt_update(
+                state.pot, tree.prop.q, tctx.tune,
+                adaptation_window=getattr(
+                    self.potential, "adaptation_window", 101),
+                axis_name=pool)
 
         new_q, new_logp, new_grad = tree.prop.q, tree.prop.logp, \
             tree.prop.grad

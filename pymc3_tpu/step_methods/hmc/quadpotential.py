@@ -26,6 +26,8 @@ __all__ = [
     "QuadPotentialFullAdapt", "quad_potential", "PositiveDefiniteError",
     "WelfordState", "welford_init", "welford_add", "welford_var",
     "DiagAdaptState", "diag_adapt_init", "diag_adapt_update",
+    "DenseState", "DenseAdaptState", "dense_adapt_init",
+    "dense_adapt_update", "mass_velocity", "kernel_mass", "kernel_momentum",
     "isquadpotential",
 ]
 
@@ -184,6 +186,161 @@ def diag_random(key, inv_stds):
 
 
 # ---------------------------------------------------------------------------
+# Dense (full) mass matrices in the jitted kernels
+# ---------------------------------------------------------------------------
+def mass_velocity(mass, p):
+    """v = M^{-1} p for a diagonal (1-D ``mass``) or dense (2-D) inverse
+    mass matrix. Accepts batched momenta of shape (..., n); the dense
+    product rides the MXU."""
+    if mass.ndim == 2:
+        return p @ mass  # M^{-1} symmetric
+    return p * mass
+
+
+def dense_random(key, chol):
+    """Momentum draw p ~ N(0, M) with M = cov^{-1} and cov = L Lᵀ:
+    p = L^{-T} z has covariance L^{-T} L^{-1} = cov^{-1}
+    (cf. ``QuadPotentialFull.random``, ``quadpotential.py:465``)."""
+    z = jax.random.normal(key, (chol.shape[0],), dtype=floatX())
+    return jax.scipy.linalg.solve_triangular(chol.T, z, lower=False)
+
+
+def kernel_mass(pot_state):
+    """The inverse-mass array a kernel threads through its leapfrog/tree:
+    the (n,) diagonal or the (n,n) dense matrix."""
+    if isinstance(pot_state, (DenseState, DenseAdaptState)):
+        return pot_state.cov
+    return pot_state.var
+
+
+def kernel_momentum(key, pot_state):
+    """Momentum draw dispatching on the potential's kernel-state type
+    (resolved at trace time — the state type is static under jit)."""
+    if isinstance(pot_state, (DenseState, DenseAdaptState)):
+        return dense_random(key, pot_state.chol)
+    return diag_random(key, pot_state.inv_stds)
+
+
+class WelfordCovState(NamedTuple):
+    """Weighted covariance accumulator (cf. ``_WeightedCovariance``,
+    ``quadpotential.py:575``) as a pytree: m2 is the (n,n) sum of outer
+    products of deviations."""
+
+    w: jnp.ndarray
+    mean: jnp.ndarray   # (n,)
+    m2: jnp.ndarray     # (n, n)
+
+
+def welford_cov_init(n, init_mean=None, init_cov=None, init_weight=0.0):
+    mean = jnp.zeros((n,), floatX()) if init_mean is None \
+        else jnp.asarray(init_mean, floatX())
+    m2 = jnp.zeros((n, n), floatX()) if init_cov is None \
+        else jnp.asarray(init_cov, floatX()) * init_weight
+    return WelfordCovState(jnp.asarray(float(init_weight), floatX()),
+                           mean, m2)
+
+
+def welford_cov_add(state: WelfordCovState, x, weight=1.0):
+    w = state.w + weight
+    delta = x - state.mean
+    mean = state.mean + (weight / w) * delta
+    m2 = state.m2 + weight * jnp.outer(delta, x - mean)
+    return WelfordCovState(w, mean, m2)
+
+
+def welford_cov_merge_psum(state: WelfordCovState, axis_name):
+    """Exact pooled cross-chain covariance merge (parallel combination of
+    (w, mean, M2) with the rank-1 mean-shift term)."""
+    w_tot = jax.lax.psum(state.w, axis_name)
+    mean_tot = jax.lax.psum(state.w * state.mean, axis_name) / w_tot
+    d = state.mean - mean_tot
+    m2_tot = jax.lax.psum(state.m2 + state.w * jnp.outer(d, d), axis_name)
+    return WelfordCovState(w_tot, mean_tot, m2_tot)
+
+
+class DenseAdaptState(NamedTuple):
+    """State of QuadPotentialFullAdapt as a pytree (Stan-style doubling
+    windows, cf. ``quadpotential.py:482-569``)."""
+
+    cov: jnp.ndarray          # current M^{-1}
+    chol: jnp.ndarray         # lower cholesky of cov
+    fg: WelfordCovState
+    bg: WelfordCovState
+    window: jnp.ndarray       # current adaptation window length (int32)
+    prev_update: jnp.ndarray  # n_samples at the last window promotion
+    n_samples: jnp.ndarray
+
+
+def dense_adapt_init(initial_mean, initial_cov=None, initial_weight=0.0,
+                     adaptation_window=101):
+    initial_mean = jnp.asarray(initial_mean, floatX())
+    n = initial_mean.shape[-1]
+    if initial_cov is None:
+        initial_cov = jnp.eye(n, dtype=floatX())
+        initial_weight = 1.0
+    else:
+        initial_cov = jnp.asarray(initial_cov, floatX())
+    fg = welford_cov_init(n, init_mean=initial_mean, init_cov=initial_cov,
+                          init_weight=initial_weight)
+    bg = welford_cov_init(n)
+    return DenseAdaptState(
+        cov=initial_cov, chol=jnp.linalg.cholesky(initial_cov),
+        fg=fg, bg=bg,
+        window=jnp.asarray(int(adaptation_window), jnp.int32),
+        prev_update=jnp.asarray(0, jnp.int32),
+        n_samples=jnp.asarray(0, jnp.int32))
+
+
+def dense_adapt_update(state: DenseAdaptState, sample, tune,
+                       window_multiplier=2.0,
+                       axis_name: Optional[str] = None) -> DenseAdaptState:
+    """One dense-adaptation step (cf. ``QuadPotentialFullAdapt.update``,
+    ``quadpotential.py:542-569``): add the sample to both covariance
+    estimators, refresh cov/chol from the foreground (the reference's
+    ``update_window=1`` default), and at window boundaries promote
+    background→foreground and double the window. A non-PD foreground
+    estimate (NaN cholesky) leaves the previous factor in place — the
+    branchless analog of the reference catching ``LinAlgError``."""
+    fg = welford_cov_add(state.fg, sample)
+    bg = welford_cov_add(state.bg, sample)
+    n = state.n_samples + 1
+    delta = state.n_samples - state.prev_update
+
+    fg_est = fg if axis_name is None \
+        else welford_cov_merge_psum(fg, axis_name)
+    cov_est = fg_est.m2 / jnp.maximum(fg_est.w - 1.0, 1.0)
+    chol_est = jnp.linalg.cholesky(cov_est)
+    ok = (fg_est.w > 2.0) & jnp.isfinite(chol_est).all()
+    cov = jnp.where(ok, cov_est, state.cov)
+    chol = jnp.where(ok, chol_est, state.chol)
+
+    window_end = delta >= state.window
+    zero = welford_cov_init(state.cov.shape[-1])
+    fg_new = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(window_end, a, b), bg, fg)
+    bg_new = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(window_end, a, b), zero, bg)
+    window_new = jnp.where(
+        window_end,
+        (state.window.astype(floatX()) * window_multiplier).astype(jnp.int32),
+        state.window)
+    prev_new = jnp.where(window_end, state.n_samples, state.prev_update)
+
+    tune = jnp.asarray(tune)
+
+    def sel(new, old):
+        return jnp.where(tune, new, old)
+
+    return DenseAdaptState(
+        cov=sel(cov, state.cov), chol=sel(chol, state.chol),
+        fg=jax.tree_util.tree_map(sel, fg_new, state.fg),
+        bg=jax.tree_util.tree_map(sel, bg_new, state.bg),
+        window=jnp.where(tune, window_new, state.window),
+        prev_update=jnp.where(tune, prev_new, state.prev_update),
+        n_samples=jnp.where(tune, n, state.n_samples))
+
+
+# ---------------------------------------------------------------------------
 # Class wrappers (API parity with the reference)
 # ---------------------------------------------------------------------------
 class QuadPotential:
@@ -238,7 +395,7 @@ class _JaxPotentialMixin:
         return 0.5 * float(np.dot(x, v_out))
 
 
-class QuadPotentialDiag(QuadPotential, _JaxPotentialMixin):
+class QuadPotentialDiag(_JaxPotentialMixin, QuadPotential):
     """Fixed diagonal M^{-1}=v (cf. ``quadpotential.py:356``)."""
 
     def __init__(self, v, dtype=None):
@@ -266,7 +423,7 @@ class QuadPotentialDiag(QuadPotential, _JaxPotentialMixin):
     adapts = False
 
 
-class QuadPotentialDiagAdapt(QuadPotential, _JaxPotentialMixin):
+class QuadPotentialDiagAdapt(_JaxPotentialMixin, QuadPotential):
     """Adaptive diagonal (cf. ``quadpotential.py:140``)."""
 
     adapts = True
@@ -364,7 +521,7 @@ class QuadPotentialDiagAdaptGrad(QuadPotentialDiagAdapt):
         super().update(sample, grad, tune)
 
 
-class QuadPotentialFull(QuadPotential, _JaxPotentialMixin):
+class QuadPotentialFull(_JaxPotentialMixin, QuadPotential):
     """Fixed dense mass matrix M=A (cf. ``quadpotential.py:440``)."""
 
     adapts = False
@@ -386,12 +543,8 @@ class QuadPotentialFull(QuadPotential, _JaxPotentialMixin):
                                              overwrite_b=True)
 
     def init_kernel_state(self):
-        # dense potential: var holds the full M^{-1}; inv_stds holds chol(M)
-        import scipy.linalg
-        prec = scipy.linalg.cho_solve((self._chol, True), np.eye(self._n))
-        chol_prec = scipy.linalg.cholesky(prec, lower=True)
-        return DenseState(cov=jnp.asarray(self._cov),
-                          chol_prec=jnp.asarray(chol_prec))
+        return DenseState(cov=jnp.asarray(self._cov, floatX()),
+                          chol=jnp.asarray(self._chol, floatX()))
 
     def energy(self, x, velocity=None):
         x = np.asarray(x, dtype=self.dtype)
@@ -412,8 +565,8 @@ class QuadPotentialFullInv(QuadPotentialFull):
 
 
 class DenseState(NamedTuple):
-    cov: jnp.ndarray        # M^{-1}
-    chol_prec: jnp.ndarray  # chol(M) lower, for momentum draws
+    cov: jnp.ndarray   # M^{-1}
+    chol: jnp.ndarray  # lower cholesky of cov (momentum draws solve Lᵀp=z)
 
 
 class QuadPotentialFullAdapt(QuadPotentialFull):
@@ -449,6 +602,11 @@ class QuadPotentialFullAdapt(QuadPotentialFull):
         self._cov_m2 = self._initial_cov * self._initial_weight
         self._set_cov(self._initial_cov)
         self._n_samples = 0
+
+    def init_kernel_state(self) -> DenseAdaptState:
+        return dense_adapt_init(
+            self._initial_mean, self._initial_cov, self._initial_weight,
+            adaptation_window=self.adaptation_window)
 
     def _set_cov(self, cov):
         import scipy.linalg
