@@ -90,7 +90,9 @@ def main():
     model = build_model(pm)
 
     # first call pays compile; second measures steady-state throughput
-    run_config(pm, model, draws, tune, chains, target_accept, pooled, seed=1)
+    tr1, _ = run_config(pm, model, draws, tune, chains, target_accept,
+                        pooled, seed=1)
+    compile_info = dict(tr1.report._t_compile or {})
     trace, wall = run_config(pm, model, draws, tune, chains, target_accept,
                              pooled, seed=2)
 
@@ -128,6 +130,11 @@ def main():
             "rhat_mu_a": round(rhat, 4),
             "divergences": n_div,
             "divergence_frac": round(div_frac, 5),
+            # trace + pure-XLA compile walls of the block program (a
+            # persistent-cache warm start shows compile_s ~ 0; see
+            # BENCHMARKS.md "Compile cost")
+            "lower_s": compile_info.get("lower_s"),
+            "compile_s": compile_info.get("compile_s"),
             "backend": jax.default_backend(),
             "baseline": baseline_detail,
         },

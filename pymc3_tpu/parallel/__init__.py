@@ -23,7 +23,9 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 __all__ = ["make_mesh", "shard_chain_fn", "shard_block_fn",
-           "initialize_distributed", "CHAIN_AXIS", "LOCAL_CHAIN_AXIS"]
+           "initialize_distributed", "CHAIN_AXIS", "LOCAL_CHAIN_AXIS",
+           "RemoteWorkerError", "install_worker_excepthook",
+           "terminate_workers"]
 
 CHAIN_AXIS = "chains"           # mesh axis: chains sharded across devices
 LOCAL_CHAIN_AXIS = "chains_local"  # vmap axis: chains within one device
@@ -140,3 +142,59 @@ def pooled_axes(axis_name: Optional[str] = None):
         if n not in out:
             out.append(n)
     return out[0] if len(out) == 1 else tuple(out)
+
+
+# ---------------------------------------------------------------------------
+# Multi-host failure detection (SURVEY §5 "Failure detection")
+# ---------------------------------------------------------------------------
+class RemoteWorkerError(RuntimeError):
+    """A multi-host worker process died (cf. ``ParallelSamplingError`` +
+    ``ExceptionWithTraceback``, ``parallel_sampling.py:64,82-95``): carries
+    the rank and the worker's formatted traceback so the error surfaces in
+    the controller with full attribution."""
+
+    def __init__(self, rank, message):
+        super().__init__(f"worker process rank {rank} failed:\n{message}")
+        self.rank = rank
+
+
+def install_worker_excepthook(rank: int):
+    """Make uncaught exceptions in a worker process print a
+    rank-attributed, fully formatted traceback before the nonzero exit —
+    the SPMD analog of the reference pickling tracebacks back through the
+    pipe (``parallel_sampling.py:82-95``)."""
+    import sys
+    import traceback
+
+    def hook(exc_type, exc, tb):
+        formatted = "".join(traceback.format_exception(exc_type, exc, tb))
+        sys.stderr.write(f"[multihost rank {rank}] worker failed:\n"
+                         f"{formatted}")
+        sys.stderr.flush()
+        # hard exit: jax.distributed registers an atexit shutdown that
+        # BARRIERS on the other ranks — a dying worker waiting there while
+        # the survivors wait in a collective is a deadlock, so skip atexit
+        import os as _os
+        _os._exit(1)
+
+    sys.excepthook = hook
+
+
+def terminate_workers(procs, patience: float = 5.0):
+    """Terminate remaining worker processes after one dies (cf.
+    ``ProcessAdapter.terminate_all``, ``parallel_sampling.py:322-345``):
+    give them ``patience`` seconds to exit on their own, then SIGTERM,
+    then SIGKILL stragglers."""
+    import time as _time
+    deadline = _time.time() + patience
+    for p in procs:
+        while p.poll() is None and _time.time() < deadline:
+            _time.sleep(0.05)
+        if p.poll() is None:
+            p.terminate()
+    deadline = _time.time() + 2.0
+    for p in procs:
+        while p.poll() is None and _time.time() < deadline:
+            _time.sleep(0.05)
+        if p.poll() is None:
+            p.kill()

@@ -207,6 +207,22 @@ def sample(draws=500, step=None, init="auto", n_init=200000, start=None,
     if isinstance(step, list):
         step = CompoundStep(step)
 
+    # population-size validation (cf. ``sampling.py:512-531``)
+    from .step_methods.metropolis import DEMetropolis as _DEM
+    methods = step.methods if isinstance(step, CompoundStep) else [step]
+    if any(isinstance(m, _DEM) for m in methods):
+        ndim = int(sum(np.size(v.test_value) for v in model.free_RVs))
+        if chains < 3:
+            raise ValueError(
+                f"DEMetropolis requires at least 3 chains. For this "
+                f"{ndim}-dimensional model you should use >= {ndim + 1} "
+                f"chains")
+        if chains <= ndim:
+            warnings.warn(
+                f"DEMetropolis should be used with more chains than "
+                f"dimensions! (The model has {ndim} dimensions.)",
+                UserWarning)
+
     # -- start points per chain ----------------------------------------------
     if start is not None:
         chain_starts = start

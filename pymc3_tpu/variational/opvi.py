@@ -204,6 +204,51 @@ class ObjectiveFunction:
             return new_params, new_state, val
         return step, obj_optimizer
 
+    def sharded_step_function(self, mesh, obj_n_mc=1, obj_optimizer=None,
+                              axis_name=None):
+        """Data-parallel SGD step over a device mesh (the multi-device seam
+        of BASELINE config #3, cf. the reference's single-process
+        ``step_function``, ``opvi.py:277``).
+
+        Each device draws its own minibatch / MC noise from its shard of
+        the key batch and computes a local ELBO gradient; gradients (and
+        the reported loss) are ``pmean``'d over the mesh axis, so the
+        update is identical on every device and the variational params
+        stay replicated. Returns ``(step, optimizer)`` where
+        ``step(params, opt_state, keys)`` takes a ``(n_devices, 2)`` key
+        array sharded over the mesh."""
+        import numpy as _np
+        from jax.sharding import PartitionSpec as P
+        from .updates import get_optimizer, adagrad_window
+        if obj_optimizer is None:
+            obj_optimizer = adagrad_window()
+        obj_optimizer = get_optimizer(obj_optimizer)
+        loss = self.loss_fn(obj_n_mc)
+        axis = axis_name or mesh.axis_names[0]
+        n_dev = int(_np.prod(mesh.devices.shape))
+
+        def local(params, opt_state, keys):
+            val, grads = jax.value_and_grad(loss)(params, keys[0])
+            grads = jax.lax.pmean(grads, axis)
+            val = jax.lax.pmean(val, axis)
+            new_params, new_state = obj_optimizer.update(grads, opt_state,
+                                                         params)
+            return new_params, new_state, val
+
+        sharded = jax.shard_map(
+            local, mesh=mesh, in_specs=(P(), P(), P(axis)),
+            out_specs=(P(), P(), P()), check_vma=False)
+
+        @jax.jit
+        def step(params, opt_state, keys):
+            if keys.shape[0] != n_dev:
+                raise ValueError(
+                    f"need one key per device ({n_dev}), got "
+                    f"{keys.shape[0]}")
+            return sharded(params, opt_state, keys)
+
+        return step, obj_optimizer
+
     def __call__(self, nmc, **kwargs):
         return self.loss_fn(nmc)
 

@@ -24,8 +24,14 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-N_PROC = 2
-LOCAL_DEVICES = 4
+N_PROC = int(os.environ.get("MULTIHOST_NPROC", 2))
+LOCAL_DEVICES = int(os.environ.get("MULTIHOST_LOCAL_DEVICES", 4))
+# if set, that rank raises mid-run (between scan blocks) to exercise the
+# failure-detection path (SURVEY §5): the parent must notice the death,
+# terminate the surviving workers with patience (cf. terminate_all,
+# parallel_sampling.py:322-345), and report the dead rank with its
+# traceback
+FAIL_RANK = os.environ.get("MULTIHOST_FAIL_RANK")
 
 
 def _free_port():
@@ -52,23 +58,50 @@ def parent():
         procs.append(subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)], env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+
+    # supervise: poll workers; the FIRST nonzero exit triggers
+    # terminate-with-patience of the rest (a dead rank leaves survivors
+    # blocked in the global collective — the parent must not wait out the
+    # full deadline; cf. ProcessAdapter.terminate_all,
+    # parallel_sampling.py:322-345)
+    from pymc3_tpu.parallel import terminate_workers
     deadline = time.time() + 600
+    dead_rank = None
+    while time.time() < deadline:
+        rcs = [p.poll() for p in procs]
+        failed = [r for r, rc in enumerate(rcs) if rc not in (None, 0)]
+        if failed:
+            dead_rank = failed[0]
+            terminate_workers([p for p in procs if p.poll() is None],
+                              patience=5.0)
+            break
+        if all(rc == 0 for rc in rcs):
+            break
+        time.sleep(0.2)
+    else:
+        for p in procs:
+            p.kill()
+        print("MULTIHOST SIM FAILED (deadline)")
+        sys.exit(1)
+
     outs = []
-    ok = True
     for rank, p in enumerate(procs):
         try:
-            out, _ = p.communicate(timeout=max(1, deadline - time.time()))
+            out, _ = p.communicate(timeout=10)
         except subprocess.TimeoutExpired:
             p.kill()
             out, _ = p.communicate()
-            ok = False
         outs.append(out.decode(errors="replace"))
-        if p.returncode != 0:
-            ok = False
     for rank, out in enumerate(outs):
         print(f"--- rank {rank} ---")
         print(out)
-    if not ok:
+    if dead_rank is not None:
+        # clean, attributed error naming the dead process
+        print(f"MULTIHOST SIM FAILED: worker process rank {dead_rank} "
+              f"died (exit {procs[dead_rank].returncode}); surviving "
+              f"workers terminated")
+        sys.exit(1)
+    if any(p.returncode != 0 for p in procs):
         print("MULTIHOST SIM FAILED")
         sys.exit(1)
     print("MULTIHOST SIM OK")
@@ -139,9 +172,22 @@ def child():
     state0 = jax.jit(
         jax.vmap(step.kernel_init), out_shardings=sharding)(Q0)
 
+    from pymc3_tpu.parallel import install_worker_excepthook
+    install_worker_excepthook(rank)
+
     carry = (keys, Q0, state0)
-    idxs = jnp.arange(tune + draws, dtype=jnp.int32)
-    carry, (qs, eps) = run(carry, idxs)
+    half = (tune + draws) // 2
+    idxs1 = jnp.arange(half, dtype=jnp.int32)
+    idxs2 = jnp.arange(half, tune + draws, dtype=jnp.int32)
+    # two blocks so a failure can be injected MID-RUN, between collectives
+    carry, (qs_a, eps_a) = run(carry, idxs1)
+    jax.block_until_ready(qs_a)
+    if FAIL_RANK is not None and rank == int(FAIL_RANK):
+        raise RuntimeError(
+            f"injected mid-block failure on rank {rank} (test fixture)")
+    carry, (qs_b, eps_b) = run(carry, idxs2)
+    qs = jnp.concatenate([qs_a, qs_b], axis=1)
+    eps = jnp.concatenate([eps_a, eps_b], axis=1)
 
     # pull only this process's addressable shards
     local_q = np.concatenate(

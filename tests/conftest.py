@@ -4,6 +4,11 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running multi-process simulations")
+
+
 @pytest.fixture(scope="function")
 def seeded():
     np.random.seed(20090425)
