@@ -15,8 +15,8 @@ draws stream device->host in fixed blocks so HBM stays bounded.
 ``vs_baseline``: the reference (Theano, CPU) cannot run in this image, so
 the documented stand-in baseline is THIS framework on the true-CPU backend
 at the CONFIG-IDENTICAL draws/tune split (2000/1000, 4 chains — the asv
-chain count, ``benchmarks.py:160-169``). Generate it with
-``BASE_DRAWS=2000 BASE_TUNE=1000 python scripts/bench_baseline_cpu.py``
+chain count, ``benchmarks.py:160-169``). Generate the per-config table for
+ALL FIVE baseline configs with ``python scripts/bench_baseline_cpu_all.py``
 (writes BASELINE_CPU.json); vs_baseline = TPU ESS/s / CPU ESS/s.
 """
 import json
@@ -109,11 +109,16 @@ def main():
     if os.path.exists(base_path):
         with open(base_path) as f:
             base = json.load(f)
-        if base.get("ess_per_sec"):
-            vs_baseline = round(ess_per_sec / float(base["ess_per_sec"]), 1)
+        # per-config table (scripts/bench_baseline_cpu_all.py) with
+        # back-compat for the old radon-only flat schema
+        cfg_tbl = base.get("configs", {}).get("radon") or base
+        if cfg_tbl.get("ess_per_sec"):
+            vs_baseline = round(ess_per_sec / float(cfg_tbl["ess_per_sec"]),
+                                1)
             baseline_detail = {
-                "cpu_ess_per_sec": base["ess_per_sec"],
-                "cpu_config": base.get("config"),
+                "cpu_ess_per_sec": cfg_tbl["ess_per_sec"],
+                "cpu_config": {k: cfg_tbl.get(k) for k in
+                               ("draws", "tune", "chains", "wall_s")},
                 "note": "stand-in: this framework on true-CPU backend at the "
                         "reference asv config (Theano reference unavailable "
                         "in this image)"}

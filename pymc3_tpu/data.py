@@ -125,7 +125,7 @@ class MinibatchNode(NamedNode):
     _counter = [0]
 
     def __init__(self, data, batch_size, name=None, random_seed=42,
-                 in_memory_size=None):
+                 in_memory_size=None, sampling="window"):
         data = np.asarray(data)
         if data.dtype == np.float64 and floatX() == "float32":
             data = data.astype(floatX())
@@ -137,7 +137,41 @@ class MinibatchNode(NamedNode):
         MinibatchNode._counter[0] += 1
         self.name = name or f"Minibatch_{MinibatchNode._counter[0]}"
         self.random_seed = random_seed
-        self._fold = int(hashlib.md5(self.name.encode()).hexdigest()[:8], 16)
+        # the fold key derives from random_seed, NOT the node name: in the
+        # reference two Minibatch views with the same seed walk the same
+        # index stream (how X/y pairs stay aligned, ``pymc3/data.py:156``
+        # seeded RandomStream); a name-derived fold silently scrambled
+        # X-vs-y row pairing in multi-tensor minibatch models
+        self._fold = int(random_seed if random_seed is not None else 42)
+        # Batch-selection mode. "random" = the reference's semantics: bs
+        # i.i.d. uniform row indices per step (``pymc3/data.py:111``) — an
+        # arbitrary 500-row GATHER, which XLA:TPU executes as a slow
+        # per-row dynamic-slice loop and which dominated the minibatch-
+        # ADVI benchmark (measured 2.0k steps/s vs 5.7k on the CPU
+        # stand-in). "window" (default) = TPU-native: shuffle the rows
+        # once at construction, then each step takes a CIRCULAR contiguous
+        # window at a uniform random offset — one lax.dynamic_slice. Every
+        # row has equal marginal probability bs/N, so the scaled
+        # likelihood (and its gradient) stays unbiased; the one-time
+        # shuffle kills order correlations within windows.
+        if sampling not in ("window", "random"):
+            raise ValueError(f"sampling must be 'window' or 'random', "
+                             f"got {sampling!r}")
+        if not isinstance(self.batch_size, int):
+            sampling = "random"  # multi-axis batch specs keep the gather
+        self.sampling = sampling
+        if sampling == "window":
+            rng = np.random.RandomState(
+                random_seed if random_seed is not None else 42)
+            # keep the permutation: ``indices()`` reports positions in the
+            # USER'S original array (AEVB encoders index their own copy of
+            # the data with it), while the fast path slices the shuffled
+            # copy
+            self._perm = rng.permutation(self.data.shape[0])
+            self.data = self.data[self._perm]
+            # circular padding so the window never needs a wrap gather
+            self._padded = np.concatenate(
+                [self.data, self.data[:self.batch_size]], axis=0)
 
     @property
     def _test_value(self):
@@ -164,9 +198,19 @@ class MinibatchNode(NamedNode):
         if key is None:
             return jnp.arange(bs)
         fkey = jax.random.fold_in(key, self._fold)
+        if self.sampling == "window":
+            r = jax.random.randint(fkey, (), 0, self.data.shape[0])
+            pos = (r + jnp.arange(bs)) % self.data.shape[0]
+            # positions in the ORIGINAL (pre-shuffle) row order
+            return jnp.asarray(self._perm)[pos]
         return jax.random.randint(fkey, (bs,), 0, self.data.shape[0])
 
     def _eval_default(self, env, memo):
+        if self.sampling == "window" and RNG_ENV_KEY in env:
+            fkey = jax.random.fold_in(env[RNG_ENV_KEY], self._fold)
+            r = jax.random.randint(fkey, (), 0, self.data.shape[0])
+            return jax.lax.dynamic_slice_in_dim(
+                jnp.asarray(self._padded), r, self.batch_size, axis=0)
         data = jnp.asarray(self.data)
         if RNG_ENV_KEY in env:
             return jnp.take(data, self.indices(env[RNG_ENV_KEY]), axis=0)
@@ -175,9 +219,16 @@ class MinibatchNode(NamedNode):
 
 def Minibatch(data, batch_size=128, dtype=None, broadcastable=None,
               name="Minibatch", random_seed=42, update_shared_f=None,
-              in_memory_size=None):
-    """Build a minibatch view node (cf. ``pymc3/data.py:111``)."""
+              in_memory_size=None, sampling="window"):
+    """Build a minibatch view node (cf. ``pymc3/data.py:111``).
+
+    ``sampling='window'`` (default) draws each batch as a circular
+    contiguous window over a once-shuffled copy — one TPU-fast
+    ``dynamic_slice``, equal marginal row probability, unbiased scaled
+    likelihood. ``sampling='random'`` keeps the reference's i.i.d.
+    uniform row gather."""
     return MinibatchNode(data, batch_size, name=name, random_seed=random_seed,
+                         sampling=sampling,
                          in_memory_size=in_memory_size)
 
 

@@ -116,6 +116,13 @@ class DifferentialEquation:
             (1e-8 if wide else 1e-4)
         self.atol = float(atol) if atol is not None else \
             (1e-8 if wide else 1e-6)
+        # bounded-scan length: every logp (and its reverse pass) costs
+        # max_steps DOPRI5 stages whether or not the controller needed
+        # them, so an oversized blanket bound taxes each of NUTS's ~1e3
+        # leapfrogs per draw. When not given explicitly, the first
+        # ``__call__`` calibrates the bound from the measured attempt
+        # count at the test point (margin 3x, see ``calibrate``).
+        self._auto_max_steps = max_steps is None
         if max_steps is None:
             max_steps = int(np.clip(16 * self.n_times, 256, 4096))
         self.max_steps = int(max_steps)
@@ -209,6 +216,68 @@ class DifferentialEquation:
         ys = jnp.where(incomplete[:, None], jnp.nan, ys)
         return ys
 
+    def _count_steps(self, y0, theta):
+        """Attempted/accepted DOPRI5 step counts at concrete (y0, theta)
+        — the calibration measurement behind auto ``max_steps``."""
+        f = self._wrap_func()
+        y0 = jnp.asarray(y0, floatX()).reshape((self.n_states,))
+        theta = jnp.asarray(theta, floatX()).reshape((self.n_theta,))
+        times = jnp.asarray(self.times, floatX())
+        n_out = self.n_times
+        rtol = jnp.asarray(self.rtol, floatX())
+        atol = jnp.asarray(self.atol, floatX())
+        t_end = float(self.times[-1])
+        t0_is_first = bool(self.times[0] == self.t0)
+        first_end = self.times[1] if t0_is_first else self.times[0]
+        dt0 = jnp.asarray((first_end - self.t0) / 8.0, floatX())
+
+        def body(state, _):
+            t, y, dt, out_idx, n_att, n_acc = state
+            done = out_idx >= n_out
+            t_target = times[jnp.minimum(out_idx, n_out - 1)]
+            h = jnp.maximum(jnp.minimum(dt, t_target - t),
+                            jnp.asarray(1e-10, floatX()))
+            y_new, err = _dopri5_step(f, y, t, h, theta)
+            scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_new))
+            err_norm = jnp.sqrt(jnp.mean((err / scale) ** 2))
+            err_norm = jnp.where(jnp.isnan(err_norm), jnp.inf, err_norm)
+            accept = err_norm <= 1.0
+            factor = jnp.clip(
+                0.9 * jnp.power(jnp.maximum(err_norm, 1e-10), -0.2),
+                0.2, 5.0)
+            dt_next = jnp.clip(h * factor, 1e-8, t_end - self.t0)
+            step_ok = accept & ~done
+            t_new = jnp.where(step_ok, t + h, t)
+            y_next = jnp.where(step_ok, y_new, y)
+            reached = step_ok & (t + h >= t_target - 1e-9)
+            out_next = out_idx + jnp.asarray(reached, out_idx.dtype)
+            return (t_new, y_next, jnp.where(done, dt, dt_next), out_next,
+                    n_att + jnp.asarray(~done, jnp.int32),
+                    n_acc + jnp.asarray(step_ok, jnp.int32)), None
+
+        out_idx0 = 1 if t0_is_first else 0
+        state0 = (jnp.asarray(self.t0, floatX()), y0, dt0,
+                  jnp.asarray(out_idx0, jnp.int32),
+                  jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+        (_, _, _, out_f, n_att, n_acc), _ = lax.scan(
+            body, state0, None, length=max(4096, self.max_steps))
+        return {"attempts": int(n_att), "accepted": int(n_acc),
+                "outputs_written": int(out_f), "complete":
+                bool(int(out_f) >= n_out)}
+
+    def calibrate(self, y0, theta, margin=3.0):
+        """Set ``max_steps`` from the measured attempt count at a
+        concrete (y0, theta) with a safety margin. Called automatically on
+        first ``__call__`` when ``max_steps`` was not given (test-point
+        values); an undersized bound can never be silently wrong — the
+        solver NaN-poisons unfinished outputs and the draw is rejected."""
+        stats = self._count_steps(np.asarray(y0, dtype=np.float64),
+                                  np.asarray(theta, dtype=np.float64))
+        if stats["complete"]:
+            self.max_steps = max(int(np.ceil(margin * stats["attempts"])),
+                                 2 * self.n_times, 32)
+        return stats
+
     def _solve(self, y0, theta):
         """(n_times, n_states) solution, fully traceable."""
         if self.method == "rk45":
@@ -262,6 +331,14 @@ class DifferentialEquation:
             theta_node = node_apply(pack, *theta)
         else:
             theta_node = as_node(theta)
+
+        if self._auto_max_steps and self.method == "rk45":
+            # size the bounded scan from the test-point step count once
+            # (margin 3x; see ``calibrate``) — the blanket 16*n_times
+            # bound taxed every leapfrog ~5x on smooth problems
+            self._auto_max_steps = False
+            self.calibrate(np.asarray(y0_node.test_value, np.float64),
+                           np.asarray(theta_node.test_value, np.float64))
 
         sol = node_apply(lambda y0_, th_: self._solve(y0_, th_),
                          y0_node, theta_node)

@@ -100,7 +100,8 @@ class HamiltonianMC(GradientSharedStep):
                      target=self.target_accept)
         pot = self.potential.init_kernel_state()
         return NutsKernelState(q=x0, logp=logp, grad=grad, da=da, pot=pot,
-                               rescue_cnt=jnp.asarray(0, jnp.int32))
+                               rescue_cnt=jnp.asarray(0, jnp.int32),
+                               eps_scale=jnp.asarray(1.0, floatX()))
 
     def kernel_step(self, key, q, state: NutsKernelState, tctx: TuneContext):
         q = jnp.asarray(q, floatX())
@@ -174,6 +175,7 @@ class HamiltonianMC(GradientSharedStep):
         q_new = q.at[self._sub_idx].set(x_new) if self._partial else x_new
         new_state = NutsKernelState(q=x_new, logp=logp_new, grad=grad_new,
                                     rescue_cnt=state.rescue_cnt,
+                                    eps_scale=state.eps_scale,
                                     da=da_new, pot=pot_new)
         stats = {
             "step_size": eps,

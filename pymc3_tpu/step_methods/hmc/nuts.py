@@ -316,6 +316,7 @@ class NutsKernelState(NamedTuple):
     da: DAState
     pot: DiagAdaptState
     rescue_cnt: jnp.ndarray     # divergences in the current tuning window
+    eps_scale: jnp.ndarray      # per-lane step-size multiplier (<=1)
 
 
 class NUTS(GradientSharedStep):
@@ -405,7 +406,8 @@ class NUTS(GradientSharedStep):
                      target=self.target_accept)
         pot = self.potential.init_kernel_state()
         return NutsKernelState(q=x0, logp=logp, grad=grad, da=da, pot=pot,
-                               rescue_cnt=jnp.asarray(0, jnp.int32))
+                               rescue_cnt=jnp.asarray(0, jnp.int32),
+                               eps_scale=jnp.asarray(1.0, floatX()))
 
     def kernel_step(self, key, q, state: NutsKernelState, tctx: TuneContext):
         q = jnp.asarray(q, floatX())
@@ -413,6 +415,16 @@ class NUTS(GradientSharedStep):
         k_mom, k_tree = jax.random.split(key)
 
         eps = da_current(state.da, tctx.tune)
+        # Per-lane step-size fallback under POOLED adaptation: a lane
+        # trapped in a high-curvature pocket (funnel bottom) diverges at
+        # the pooled eps every draw and would otherwise never move — the
+        # 8192-chain stuck-lane pathology (BENCHMARKS.md r3). Its lane
+        # multiplier halves on divergence and decays back toward 1 on
+        # clean draws, so the bulk runs at exactly the pooled eps while a
+        # trapped lane gets the small eps it needs to escape. NUTS is
+        # valid at ANY eps, so post-tune draws with a residual scale < 1
+        # remain exact.
+        eps = eps * state.eps_scale
         # inverse mass: (n,) diagonal or (n,n) dense — resolved at trace
         # time from the potential's kernel-state type
         var = kernel_mass(state.pot)
@@ -481,6 +493,14 @@ class NUTS(GradientSharedStep):
 
         new_q, new_logp, new_grad = tree.prop.q, tree.prop.logp, \
             tree.prop.grad
+        eps_scale = state.eps_scale
+        if pool is not None:
+            eps_scale = jnp.where(
+                tctx.tune,
+                jnp.clip(jnp.where(tree.diverging, eps_scale * 0.5,
+                                   eps_scale * 1.12),
+                         2.0 ** -8, 1.0),
+                eps_scale)
         rescue_cnt = state.rescue_cnt
         if pool is not None and self.rescue_stuck and not self._partial:
             win, thresh = 100, 90
@@ -523,7 +543,8 @@ class NUTS(GradientSharedStep):
         q_new = q.at[self._sub_idx].set(new_q) if self._partial else new_q
         new_state = NutsKernelState(q=new_q, logp=new_logp,
                                     grad=new_grad, da=da_new,
-                                    pot=pot_new, rescue_cnt=rescue_cnt)
+                                    pot=pot_new, rescue_cnt=rescue_cnt,
+                                    eps_scale=eps_scale)
         stats = {
             "depth": tree.depth,
             "step_size": eps,

@@ -65,20 +65,54 @@ class Inference:
                 "per_step_us": total / n * 1e6}
 
     def fit(self, n=10000, score=None, callbacks=None, progressbar=True,
-            obj_n_mc=1, obj_optimizer=None, block=200, random_seed=None,
+            obj_n_mc=1, obj_optimizer=None, block=1000, random_seed=None,
             total_grad_norm_constraint=None, **kwargs) -> Approximation:
         """Run optimization (cf. ``inference.py:101``).
 
         The loop is chunked: ``block`` jitted steps per ``lax.scan`` call,
-        callbacks between chunks.
+        callbacks between chunks. The default 1000 amortizes per-dispatch
+        latency (on a tunneled TPU each dispatch costs ~ms; measured
+        2.7k -> 3.6k steps/s on the minibatch-logistic bench going
+        200 -> 5000); pass a smaller ``block`` for finer callback
+        granularity.
         """
         if callbacks is None:
             callbacks = []
-        if obj_optimizer is None:
-            obj_optimizer = adagrad_window()
-        step, opt = self.objective.step_function(
-            obj_n_mc=obj_n_mc, obj_optimizer=obj_optimizer,
-            total_grad_norm_constraint=total_grad_norm_constraint)
+        # Cache the compiled step across fit()/refine() calls: rebuilding
+        # the jit wrapper re-traces the whole objective, and re-tracing
+        # re-uploads the model's data constants to the device — on the
+        # tunneled dev TPU a 100 MB design matrix costs ~14 s PER CALL
+        # (measured: the batch-8192 logistic bench ran at 194 steps/s
+        # through a fresh fit vs ~4.5k steps/s with the step reused).
+        cache_key = (obj_n_mc,
+                     None if obj_optimizer is None else id(obj_optimizer),
+                     total_grad_norm_constraint)
+        cached = getattr(self, "_step_cache", None)
+        if cached is not None and cached[0] == cache_key:
+            _, step, opt, run_block = cached
+        else:
+            if obj_optimizer is None:
+                obj_optimizer = adagrad_window()
+            step, opt = self.objective.step_function(
+                obj_n_mc=obj_n_mc, obj_optimizer=obj_optimizer,
+                total_grad_norm_constraint=total_grad_norm_constraint)
+
+            def scan_block(carry, _):
+                params, opt_state, key = carry
+                key, sub = jax.random.split(key)
+                params, opt_state, loss = step(params, opt_state, sub)
+                return (params, opt_state, key), loss
+
+            from functools import partial
+
+            @partial(jax.jit, static_argnums=(3,))
+            def run_block(params, opt_state, key, nsteps):
+                (params, opt_state, key), losses = jax.lax.scan(
+                    scan_block, (params, opt_state, key), None,
+                    length=nsteps)
+                return params, opt_state, key, losses
+
+            self._step_cache = (cache_key, step, opt, run_block)
 
         params = self.approx.params
         opt_state = opt.init(params) if self.state is None else self.state
@@ -87,34 +121,15 @@ class Inference:
             random_seed = np.random.randint(0, 2**31 - 1)
         key = jax.random.PRNGKey(int(random_seed))
 
-        def scan_block(carry, _):
-            params, opt_state, key = carry
-            key, sub = jax.random.split(key)
-            params, opt_state, loss = step(params, opt_state, sub)
-            return (params, opt_state, key), loss
-
-        from functools import partial
-
-        @partial(jax.jit, static_argnums=(3,))
-        def run_block(params, opt_state, key, nsteps):
-            (params, opt_state, key), losses = jax.lax.scan(
-                scan_block, (params, opt_state, key), None, length=nsteps)
-            return params, opt_state, key, losses
-
         hist = list(self.hist)
         i = 0
         try:
             while i < n:
                 nsteps = min(block, n - i)
-                if nsteps != block:
-                    # final partial block compiles separately
-                    run = jax.jit(lambda p, s, k: jax.lax.scan(
-                        scan_block, (p, s, k), None, length=nsteps))
-                    (params, opt_state, key), losses = run(params, opt_state,
-                                                           key)
-                else:
-                    params, opt_state, key, losses = run_block(
-                        params, opt_state, key, block)
+                # run_block is static in nsteps; a final partial block
+                # compiles one extra variant through the same wrapper
+                params, opt_state, key, losses = run_block(
+                    params, opt_state, key, nsteps)
                 losses = np.asarray(losses)
                 hist.extend(losses.tolist())
                 i += nsteps

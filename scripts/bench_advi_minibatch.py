@@ -45,13 +45,22 @@ def main():
         p = pm.math.invlogit(pm.math.dot(X_mb, w) + b)
         pm.Bernoulli("obs", p=p, observed=y_mb, total_size=N)
 
+    # one Inference object: the compiled step is cached across fit()
+    # calls, so the second fit measures steady-state device throughput
+    # (not re-trace + data-constant re-upload)
+    with model:
+        inference = pm.ADVI()
+
     def run(seed):
+        inference.state = None
+        inference.approx.params = {
+            0: inference.approx.groups[0].init_params()}
         t0 = time.time()
-        approx = pm.fit(n=n_steps, method="advi", model=model,
-                        random_seed=seed, progressbar=False)
+        approx = inference.fit(n=n_steps, random_seed=seed,
+                               progressbar=False)
         return approx, time.time() - t0
 
-    run(1)  # compile
+    run(1)  # compile + upload
     approx, wall = run(2)
 
     means = model.array_to_dict(np.asarray(approx.mean))

@@ -132,10 +132,21 @@ def main():
         ess = float(min(np.min(np.asarray(ess_tbl[v])) for v in ess_vars))
         rhat_tbl = pm.rhat(trace, var_names=ess_vars)
         rhat = float(max(np.max(np.asarray(rhat_tbl[v])) for v in ess_vars))
+        vs_baseline = None
+        base_path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BASELINE_CPU.json")
+        if os.path.exists(base_path):
+            with open(base_path) as f:
+                base_cfg = json.load(f).get("configs", {}).get(name, {})
+            if base_cfg.get("ess_per_sec") and \
+                    base_cfg.get("chains") == chains:
+                vs_baseline = round(
+                    (ess / wall) / float(base_cfg["ess_per_sec"]), 2)
         print(json.dumps({
             "suite": name, "ess_per_sec": round(ess / wall, 2),
             "ess_min": round(ess, 1), "wall_s": round(wall, 2),
             "rhat_max": round(rhat, 4), **cfg,
+            "vs_baseline": vs_baseline,
             "backend": jax.default_backend(),
         }), flush=True)
 

@@ -5,7 +5,9 @@
 # pymc3_tpu.config._apply_floatX).
 set -e
 cd "$(dirname "$0")/.."
+# RuntimeWarnings are errors (VERDICT r3 #9): a clean suite must not mask
+# real numeric warnings (divide-by-zero, overflow) behind green dots
 echo "=== float32 ==="
-PYMC3_TPU_FLOATX=float32 python -m pytest tests/ -q "$@"
+PYMC3_TPU_FLOATX=float32 python -m pytest tests/ -q -W "error::RuntimeWarning" "$@"
 echo "=== float64 ==="
-PYMC3_TPU_FLOATX=float64 python -m pytest tests/ -q "$@"
+PYMC3_TPU_FLOATX=float64 python -m pytest tests/ -q -W "error::RuntimeWarning" "$@"
