@@ -70,6 +70,9 @@ def run_config(pm, model, draws, tune, chains, target_accept, pooled, seed):
                       progressbar=False, random_seed=seed,
                       target_accept=target_accept, axis_name=axis_name,
                       trace=trace_arg,
+                      # only the divergence stat crosses the (tunnel) D2H
+                      # link; full stats cost ~10s/run at 2048 chains here
+                      record_stats=["diverging"],
                       compute_convergence_checks=False)
     wall = time.time() - t0
     return trace, wall

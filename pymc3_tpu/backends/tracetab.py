@@ -1,49 +1,49 @@
 """Trace → DataFrame conversion (cf. ``pymc3/backends/tracetab.py``)."""
 from __future__ import annotations
 
-import itertools
+from itertools import product
 
 import numpy as np
 import pandas as pd
 
-from ..util import get_var_name
-
 __all__ = ["trace_to_dataframe"]
+
+
+def create_flat_names(varname, shape):
+    """Column labels for the raveled elements of ``varname`` with ``shape``
+    (cf. ``tracetab.py:52``): ``x`` → ``['x']``; ``(2, 2)`` →
+    ``['x__0_0', 'x__0_1', 'x__1_0', 'x__1_1']`` (C order)."""
+    if not shape:
+        return [varname]
+    index_tuples = product(*(range(int(n)) for n in shape))
+    return [varname + "__" + "_".join(str(i) for i in idx)
+            for idx in index_tuples]
 
 
 def trace_to_dataframe(trace, chains=None, varnames=None,
                        include_transformed=False):
-    """Convert trace to pandas DataFrame (cf. ``tracetab.py:26``)."""
-    var_shapes = trace._straces[trace.chains[0]].var_shapes
-
+    """Convert trace to pandas DataFrame (cf. ``tracetab.py:26``): one
+    column per raveled element of each (selected) variable, chains
+    concatenated along rows."""
+    shapes = trace._straces[trace.chains[0]].var_shapes
     if varnames is None:
         varnames = [v for v in trace.varnames
                     if include_transformed or not v.endswith("__")]
 
-    flat_names = {v: create_flat_names(v, var_shapes[v]) for v in varnames}
-
-    var_dfs = []
+    columns = {}
     for v in varnames:
-        vals = trace.get_values(v, chains=chains, combine=True)
-        flat_vals = vals.reshape(vals.shape[0], -1)
-        var_dfs.append(pd.DataFrame(flat_vals, columns=flat_names[v]))
-    return pd.concat(var_dfs, axis=1)
-
-
-def create_flat_names(varname, shape):
-    """Return flat variable names for `varname` of `shape`
-    (cf. ``tracetab.py:52``)."""
-    if np.prod(shape, dtype=int) == 1 and len(shape) == 0:
-        return [varname]
-    labels = (np.ravel(xs).tolist() for xs in np.indices(shape))
-    labels = (map(str, xs) for xs in labels)
-    return [f"{varname}__{'_'.join(idxs)}" for idxs in zip(*labels)]
+        vals = np.asarray(trace.get_values(v, chains=chains, combine=True))
+        flat = vals.reshape(vals.shape[0], -1)
+        for j, label in enumerate(create_flat_names(v, shapes[v])):
+            columns[label] = flat[:, j]
+    return pd.DataFrame(columns)
 
 
 def _create_shape(flat_names):
-    """Determine shape from `create_flat_names` output."""
-    try:
-        _, shape_str = flat_names[-1].rsplit("__", 1)
-    except ValueError:
+    """Invert ``create_flat_names``: recover the shape from the last
+    label's index suffix."""
+    last = flat_names[-1]
+    if "__" not in last:
         return ()
-    return tuple(int(i) + 1 for i in shape_str.split("_"))
+    suffix = last.rsplit("__", 1)[1]
+    return tuple(int(i) + 1 for i in suffix.split("_"))

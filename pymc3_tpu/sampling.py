@@ -169,6 +169,9 @@ def sample(draws=500, step=None, init="auto", n_init=200000, start=None,
     for name in _stepper_names:
         if name in kwargs:
             step_kwargs[name] = kwargs.pop(name)
+    # list-valued stats subset: only these sampler stats cross the
+    # device->host link (plus "diverging", always kept for the report)
+    record_stats = kwargs.pop("record_stats", None)
     # legacy spelling: sample(step_kwargs={'nuts': {...}}) — keys must name
     # known steppers (cf. the reference's validation, tested at
     # ``tests/test_sampling.py:99``)
@@ -249,7 +252,7 @@ def sample(draws=500, step=None, init="auto", n_init=200000, start=None,
         random_seed=random_seed, progressbar=progressbar,
         axis_name=axis_name, devices=devices, callback=callback,
         block_size=block_size, keep_from=keep_from,
-        trace_vars=trace_vars)
+        trace_vars=trace_vars, record_stats=record_stats)
     t_sampling = time.time() - t_start
 
     if result["interrupted"]:
@@ -412,7 +415,8 @@ def _resolve_trace_vars(model, trace):
 
 def _device_sample(model, step, q0, draws, tune, random_seed, progressbar,
                    axis_name=None, devices=None, callback=None,
-                   block_size=None, keep_from=0, trace_vars=None):
+                   block_size=None, keep_from=0, trace_vars=None,
+                   record_stats=None):
     """Run warmup+draws as a sequence of fixed-size jitted scan blocks,
     vmapped (and optionally mesh-sharded) over chains.
 
@@ -559,7 +563,13 @@ def _device_sample(model, step, q0, draws, tune, random_seed, progressbar,
                 stats_list = stats
             else:
                 stats_list = [stats] if step.generates_stats else []
-            new_stats = [{k: to_host(v) for k, v in s.items()}
+            # list-valued ``record_stats`` selects which sampler stats
+            # cross the device->host link (same trimming semantics as the
+            # list-valued ``trace`` for values; on the dev tunnel each
+            # full-width stat costs real seconds per 1k draws x 2k chains)
+            new_stats = [{k: to_host(v) for k, v in s.items()
+                          if record_stats is None or k in record_stats
+                          or k == "diverging"}
                          for s in stats_list]
             # commit phase: pure list appends, marked done up front
             drained.add(start)
@@ -643,7 +653,17 @@ def _flush_to_traces(model, step, result, trace_arg, chain_idx, chains,
     any_val = next((v for v in var_values.values() if v is not None), None)
     nkept = 0 if any_val is None else any_val.shape[1]
 
-    stats_dtypes = step.stats_dtypes if step.generates_stats else None
+    stats_dtypes = None
+    if step.generates_stats:
+        # declare only the stats that actually crossed to the host (a
+        # record_stats subset trims them at drain time)
+        stats_dtypes = []
+        for s_i, dtypes in enumerate(step.stats_dtypes):
+            streamed = result["stats"][s_i] if s_i < len(result["stats"]) \
+                else None
+            if streamed:
+                dtypes = {k: dt for k, dt in dtypes.items() if k in streamed}
+            stats_dtypes.append(dtypes)
     traces = []
     for ci in range(chains):
         if isinstance(trace_arg, BaseTrace):

@@ -337,6 +337,8 @@ class NUTS(GradientSharedStep):
         "energy": np.float64,
         "max_energy_error": np.float64,
         "model_logp": np.float64,
+        "step_size_scale": np.float64,
+        "rescued": bool,
     }]
 
     def __init__(self, vars=None, max_treedepth=10, early_max_treedepth=8,
@@ -493,6 +495,7 @@ class NUTS(GradientSharedStep):
 
         new_q, new_logp, new_grad = tree.prop.q, tree.prop.logp, \
             tree.prop.grad
+        rescued = jnp.asarray(False)
         eps_scale = state.eps_scale
         if pool is not None:
             eps_scale = jnp.where(
@@ -539,6 +542,7 @@ class NUTS(GradientSharedStep):
             new_logp = jnp.where(apply, donor(new_logp), new_logp)
             new_grad = jnp.where(apply, donor(new_grad), new_grad)
             rescue_cnt = jnp.where(boundary, 0, rescue_cnt)
+            rescued = apply
 
         q_new = q.at[self._sub_idx].set(new_q) if self._partial else new_q
         new_state = NutsKernelState(q=new_q, logp=new_logp,
@@ -557,6 +561,8 @@ class NUTS(GradientSharedStep):
             "energy": tree.prop.energy,
             "max_energy_error": tree.max_eerr,
             "model_logp": tree.prop.logp,
+            "step_size_scale": eps_scale,
+            "rescued": rescued,
         }
         return q_new, new_state, stats
 

@@ -59,23 +59,20 @@ def guess_scaling(point, vars=None, model=None, scaling_bound=1e-8):
 
 
 def adjust_scaling(s, scaling_bound):
-    if s.ndim < 2:
+    """Clamp a (diagonal or full) scaling into a sane precision range;
+    full matrices are clamped in their eigenbasis."""
+    if np.ndim(s) < 2:
         return adjust_precision(s, scaling_bound)
-    else:
-        val, vec = np.linalg.eigh(s)
-        val = adjust_precision(val, scaling_bound)
-        return (vec * val).dot(vec.T)
+    val, vec = np.linalg.eigh(s)
+    return (vec * adjust_precision(val, scaling_bound)) @ vec.T
 
 
 def adjust_precision(tau, scaling_bound=1e-8):
+    """Precision magnitudes clipped into [bound, 1/bound] (clipping the
+    magnitude directly is the same monotone map as the reference's
+    exp(clamp(log .)) round-trip)."""
     mag = np.sqrt(np.abs(tau))
-    bounded = bound(np.log(mag), np.log(scaling_bound),
-                    np.log(1.0 / scaling_bound))
-    return np.exp(bounded) ** 2
-
-
-def bound(a, l, u):
-    return np.maximum(np.minimum(a, u), l)
+    return np.clip(mag, scaling_bound, 1.0 / scaling_bound) ** 2
 
 
 def trace_cov(trace, vars=None, model=None):

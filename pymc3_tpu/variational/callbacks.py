@@ -2,7 +2,6 @@
 from __future__ import annotations
 
 import collections
-from typing import Callable
 
 import numpy as np
 
@@ -14,46 +13,45 @@ class Callback:
         raise NotImplementedError
 
 
-def relative(current, prev, eps=1e-6):
-    return (np.abs(current - prev) + eps) / (np.abs(prev) + eps)
-
-
-def absolute(current, prev):
-    return np.abs(current - prev)
-
-
-_diff = {"relative": relative, "absolute": absolute}
-
-
 class CheckParametersConvergence(Callback):
-    """Convergence check on flat parameter deltas
-    (cf. ``callbacks.py:45``; used by NUTS-ADVI init,
-    ``sampling.py:1910-1913``)."""
+    """Early-stop when the flat variational parameter vector stops moving
+    (cf. ``callbacks.py:45``; the NUTS-ADVI init paths attach one absolute
+    and one relative instance, ``sampling.py:1910-1913``).
+
+    Every ``every`` iterations the current parameter snapshot is compared
+    to the previous one; if the ``ord``-norm of the (absolute or
+    relative) per-element change drops below ``tolerance``, fit() is
+    stopped by raising ``StopIteration``.
+    """
 
     def __init__(self, every=100, tolerance=1e-3, diff="relative",
                  ord=np.inf):
-        self._diff = _diff[diff]
-        self.ord = ord
-        self.every = every
-        self.prev = None
+        if diff not in ("relative", "absolute"):
+            raise ValueError(f"diff must be 'relative' or 'absolute', "
+                             f"got {diff!r}")
+        self.diff = diff
+        self.every = int(every)
         self.tolerance = tolerance
+        self.ord = ord
+        self.prev = None
 
     def __call__(self, approx, _, i):
-        if i % self.every or i < self.every:
+        if i < self.every or i % self.every:
             return
-        current = self.flatten_shared(approx)
-        if self.prev is None:
-            self.prev = current
+        snapshot = self.flatten_shared(approx)
+        previous, self.prev = self.prev, snapshot
+        if previous is None:
             return
-        prev = self.prev
-        delta = self._diff(current, prev)
-        self.prev = current
-        norm = np.linalg.norm(delta, self.ord)
-        if norm < self.tolerance:
+        change = np.abs(snapshot - previous)
+        if self.diff == "relative":
+            change = (change + 1e-6) / (np.abs(previous) + 1e-6)
+        if np.linalg.norm(change, self.ord) < self.tolerance:
             raise StopIteration(f"Convergence achieved at {i}")
 
     @staticmethod
     def flatten_shared(approx):
+        """All variational parameters as one flat vector (the pytree
+        analog of the reference's shared-variable concat)."""
         import jax
         leaves = jax.tree_util.tree_leaves(approx.params)
         return np.concatenate([np.ravel(np.asarray(l)) for l in leaves])

@@ -47,6 +47,8 @@ def main():
                            target_accept=target_accept,
                            axis_name="chains_local" if pooled else None,
                            block_size=block_size, trace=trace_arg,
+                           record_stats=["diverging", "tree_size",
+                                         "rescued", "step_size_scale"],
                            compute_convergence_checks=False)
             return tr, time.time() - t0
 
@@ -58,6 +60,13 @@ def main():
         n_div = int(np.sum(np.asarray(trace.get_sampler_stats("diverging"))))
         tree = np.asarray(trace.get_sampler_stats("tree_size"), dtype=np.float64)
         leapfrogs = float(tree.sum())
+        stat_names = trace.stat_names or set()
+        n_rescued = int(np.sum(np.asarray(
+            trace.get_sampler_stats("rescued")))) \
+            if "rescued" in stat_names else None
+        scale = np.asarray(trace.get_sampler_stats("step_size_scale")) \
+            if "step_size_scale" in stat_names else None
+        min_scale = float(scale.min()) if scale is not None else None
         print(json.dumps({
             "chains": chains, "draws": draws, "tune": tune,
             "wall_s": round(wall, 2),
@@ -73,6 +82,8 @@ def main():
             "post_tune_leapfrogs_per_sec": round(leapfrogs / wall, 0),
             "rhat": round(rhat, 4), "divergences": n_div,
             "div_frac": round(n_div / (draws * chains), 5),
+            "rescued": n_rescued,
+            "min_eps_scale": min_scale,
             "backend": jax.default_backend(),
         }), flush=True)
 

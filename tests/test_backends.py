@@ -169,3 +169,111 @@ class TestAddRemoveValues:
         with pytest.warns(UserWarning, match="rows"):
             with pytest.raises(ValueError):
                 trace.add_values({"bad": np.zeros(7)})
+
+
+class TestBackendEquality:
+    """cf. ``backend_fixtures.py:489`` (``BackendEqualityTestCase``) +
+    ``SelectionTestCase:287``: identical recorded data must come back
+    identically from every backend across the full selection matrix
+    (burn x thin x chains x combine x squeeze, point(), slicing)."""
+
+    N, CHAINS = 30, 2
+
+    @pytest.fixture(scope="class")
+    def equal_traces(self, tmp_path_factory):
+        _, model, _ = models.simple_model()
+        rng = np.random.RandomState(7)
+        draws = [{"x": rng.randn(self.CHAINS, 2).astype(np.float32)}
+                 for _ in range(self.N)]
+        stats = [{"stat1": rng.rand(self.CHAINS)} for _ in range(self.N)]
+        tmp = tmp_path_factory.mktemp("backends")
+
+        def build(factory, with_stats=True):
+            straces = []
+            for c in range(self.CHAINS):
+                strace = factory(c)
+                if with_stats:
+                    strace.setup(self.N, c, [{"stat1": np.float64}])
+                else:
+                    strace.setup(self.N, c)
+                for i in range(self.N):
+                    if with_stats:
+                        strace.record(
+                            {"x": draws[i]["x"][c]},
+                            [{"stat1": float(stats[i]["stat1"][c])}])
+                    else:
+                        strace.record({"x": draws[i]["x"][c]})
+                strace.close()
+                straces.append(strace)
+            return MultiTrace(straces)
+
+        with model:
+            traces = {
+                "ndarray": build(lambda c: NDArray(model=model)),
+                # Text has no sampler-stat support (reference parity,
+                # ``backends/text.py``)
+                "text": build(lambda c: Text(
+                    str(tmp / "text"), model=model), with_stats=False),
+                # SQLite: no sampler stats either (reference parity,
+                # ``backends/sqlite.py:76``)
+                "sqlite": build(lambda c: SQLite(
+                    str(tmp / "eq.sqlite"), model=model),
+                    with_stats=False),
+                "hdf5": build(lambda c: HDF5(
+                    str(tmp / "eq.h5"), model=model)),
+            }
+        return traces
+
+    @pytest.mark.parametrize("backend", ["text", "sqlite", "hdf5"])
+    @pytest.mark.parametrize("burn,thin", [(0, 1), (5, 1), (0, 3), (7, 2)])
+    @pytest.mark.parametrize("combine", [True, False])
+    def test_get_values_matrix(self, equal_traces, backend, burn, thin,
+                               combine):
+        ref = equal_traces["ndarray"].get_values(
+            "x", burn=burn, thin=thin, combine=combine)
+        got = equal_traces[backend].get_values(
+            "x", burn=burn, thin=thin, combine=combine)
+        if combine:
+            np.testing.assert_allclose(got, ref, rtol=1e-6)
+        else:
+            assert len(got) == len(ref)
+            for g, r in zip(got, ref):
+                np.testing.assert_allclose(g, r, rtol=1e-6)
+
+    @pytest.mark.parametrize("backend", ["text", "sqlite", "hdf5"])
+    def test_chain_selection_and_squeeze(self, equal_traces, backend):
+        ref = equal_traces["ndarray"]
+        got = equal_traces[backend]
+        for chains in (0, [1], [0, 1]):
+            np.testing.assert_allclose(
+                got.get_values("x", chains=chains),
+                ref.get_values("x", chains=chains), rtol=1e-6)
+        # squeeze=False returns a list even for one chain
+        out = got.get_values("x", chains=[0], combine=False, squeeze=False)
+        assert isinstance(out, list) and len(out) == 1
+
+    @pytest.mark.parametrize("backend", ["text", "sqlite", "hdf5"])
+    def test_point_and_len(self, equal_traces, backend):
+        ref = equal_traces["ndarray"]
+        got = equal_traces[backend]
+        assert len(got) == len(ref) == self.N
+        for idx in (0, 7, self.N - 1, -1):
+            np.testing.assert_allclose(got.point(idx)["x"],
+                                       ref.point(idx)["x"], rtol=1e-6)
+
+    @pytest.mark.parametrize("backend", ["hdf5"])
+    def test_sampler_stats_equal(self, equal_traces, backend):
+        np.testing.assert_allclose(
+            equal_traces[backend].get_sampler_stats("stat1"),
+            equal_traces["ndarray"].get_sampler_stats("stat1"), rtol=1e-6)
+
+    def test_ndarray_slicing_semantics(self, equal_traces):
+        """``SelectionTestCase`` slicing: a sliced MultiTrace preserves
+        draw alignment and stats."""
+        tr = equal_traces["ndarray"]
+        sl = tr[5:25:2]
+        assert len(sl) == 10
+        got = sl.get_values("x", combine=False)
+        exp = tr.get_values("x", burn=5, thin=2, combine=False)
+        for g, e in zip(got, exp):
+            np.testing.assert_allclose(g, e[:10], rtol=1e-6)

@@ -226,3 +226,20 @@ class TestInitNuts:
             start, step = pm.init_nuts(init=method, n_init=50, chains=2)
             assert isinstance(start, list) and len(start) == 2
             assert all("a" in s and "b_log__" in s for s in start)
+
+
+class TestRecordStatsSubset:
+    """List-valued ``record_stats`` trims which sampler stats reach the
+    trace (the stats analog of the list-valued ``trace`` subset);
+    ``diverging`` is always kept for the report."""
+
+    def test_subset_recorded(self):
+        _, model, _ = models.simple_model()
+        trace = pm.sample(draws=20, tune=20, chains=2, model=model,
+                          progressbar=False, random_seed=1,
+                          record_stats=["depth"],
+                          compute_convergence_checks=False)
+        assert "depth" in trace.stat_names
+        assert "diverging" in trace.stat_names  # always kept
+        assert "energy" not in trace.stat_names
+        assert trace.get_sampler_stats("depth").shape == (40,)

@@ -234,3 +234,24 @@ def test_warmup_stuck_lane_rescue():
     d_on, s_on = run(True)
     assert d_on < 10
     assert 0.1 < s_on < 2.0    # recovered to the posterior scale
+
+
+def test_per_lane_eps_scale_bounds_and_health():
+    """Pooled-adaptation runs carry a per-lane step-size fallback
+    (``nuts.py`` eps_scale): it must stay within [2^-8, 1], never fire the
+    teleport rescue on a healthy model, and keep the centered eight-schools
+    funnel sampling correct."""
+    import numpy as np
+    from . import models
+    _, model = models.eight_schools()
+    with model:
+        trace = pm.sample(draws=300, tune=300, chains=16,
+                          axis_name="chains_local", progressbar=False,
+                          random_seed=3,
+                          compute_convergence_checks=False)
+    scale = np.asarray(trace.get_sampler_stats("step_size_scale"))
+    assert np.all(scale <= 1.0 + 1e-6)
+    assert np.all(scale >= 2.0 ** -8 - 1e-9)
+    assert not np.any(np.asarray(trace.get_sampler_stats("rescued")))
+    # post-tune the healthy bulk should be at (or very near) the pooled eps
+    assert float(np.median(scale)) > 0.5
