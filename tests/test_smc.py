@@ -154,3 +154,22 @@ def test_particle_state_stays_on_device():
             assert isinstance(getattr(smc, name), jax.Array), name
         assert isinstance(smc.beta, float)
         assert isinstance(smc.acc_rate, float)
+
+
+def test_indefinite_particle_cov_is_flagged():
+    """A finite but numerically indefinite particle Gram matrix must be
+    flagged via its NaN cholesky (advisor r3 medium: previously only
+    isfinite(cov) was checked, so mutation silently proposed NaN deltas)."""
+    import jax.numpy as jnp
+    from pymc3_tpu.smc.smc import _particle_cov_chol
+    # rank-deficient particles with large magnitudes: cov finite, chol NaN
+    base = np.full((64,), 1e6, dtype=np.float32)
+    X = np.stack([base, base + 1e-3]).T.astype(np.float32)  # (64, 2) nearly
+    X = np.concatenate([X, X], axis=1)  # (64, 4) exactly rank-deficient
+    cov, chol, ok = _particle_cov_chol(jnp.asarray(X))
+    assert bool(np.isfinite(np.asarray(cov)).all())
+    if not np.isfinite(np.asarray(chol)).all():
+        assert not bool(ok)
+    else:
+        # platform factored it anyway: ok must then be True
+        assert bool(ok)

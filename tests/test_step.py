@@ -255,3 +255,30 @@ def test_per_lane_eps_scale_bounds_and_health():
     assert not np.any(np.asarray(trace.get_sampler_stats("rescued")))
     # post-tune the healthy bulk should be at (or very near) the pooled eps
     assert float(np.median(scale)) > 0.5
+
+
+def test_leapfrog_reversible_dense_mass():
+    """Reversibility with a DENSE inverse mass (the round-4
+    mass_velocity MXU path)."""
+    import jax.numpy as jnp
+    _, model, _ = models.simple_model()
+    logp_fn = jax.value_and_grad(model.make_logp_fn())
+    n = model.ordering.size
+    rng = np.random.RandomState(0)
+    A = rng.randn(n, n).astype(np.float32)
+    mass = jnp.asarray(A @ A.T / n + np.eye(n, dtype=np.float32))
+    q = jax.random.normal(jax.random.PRNGKey(2), (n,))
+    p = jax.random.normal(jax.random.PRNGKey(3), (n,))
+    state = compute_state(logp_fn, mass, q, p)
+    fwd = state
+    for _ in range(8):
+        fwd = leapfrog(logp_fn, mass, 0.1, fwd)
+    back = IntegrationState(q=fwd.q, p=-fwd.p, v=-fwd.v,
+                            q_grad=fwd.q_grad, energy=fwd.energy,
+                            model_logp=fwd.model_logp)
+    for _ in range(8):
+        back = leapfrog(logp_fn, mass, 0.1, back)
+    np.testing.assert_allclose(np.asarray(back.q), np.asarray(q),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(-back.p), np.asarray(p),
+                               atol=1e-4)
