@@ -447,8 +447,13 @@ def _device_sample(model, step, q0, draws, tune, random_seed, progressbar,
 
     out_width = int(sum(
         max(1, int(np.prod(np.shape(v.test_value)))) for v in unobserved))
+    # the device block buffer holds the per-draw STATS alongside the
+    # decoded values (record_stats trimming happens host-side), so the
+    # budget must count them: at 8192 chains a 1000-step block of 13
+    # stats alone is ~0.5 GB and double-buffering it crashed the worker
+    n_stats = int(sum(len(d) for d in step.stats_dtypes))         if step.generates_stats else 0
     if block_size is None:
-        block_size = _auto_block_size(total, chains, out_width)
+        block_size = _auto_block_size(total, chains, out_width + n_stats)
     block = int(min(total, max(1, block_size)))
     n_blocks = -(-total // block)
 
