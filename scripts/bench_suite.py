@@ -119,13 +119,22 @@ def main():
         chains = int(os.environ.get("SUITE_CHAINS", cfg["chains"]))
         cfg["chains"] = chains
         model, ess_vars = build(pm)
+        # at TPU-native chain counts, stream only the tracked variables
+        # and the divergence stat — the dev tunnel's ~5 MB/s would
+        # otherwise dominate the wall (BENCHMARKS.md r4); asv-size runs
+        # keep the full trace (transfer is negligible there)
+        extra = {}
+        if cfg["chains"] > 8:
+            extra = dict(trace=list(ess_vars),
+                         record_stats=["diverging"])
         with model:
             # compile pass, then the measured pass
             pm.sample(model=model, progressbar=False, random_seed=1,
-                      compute_convergence_checks=False, **cfg)
+                      compute_convergence_checks=False, **cfg, **extra)
             t0 = time.time()
             trace = pm.sample(model=model, progressbar=False, random_seed=2,
-                              compute_convergence_checks=False, **cfg)
+                              compute_convergence_checks=False, **cfg,
+                              **extra)
             wall = time.time() - t0
         ess_tbl = pm.ess(trace, var_names=ess_vars)
         # worst-case (min) ESS across the tracked vars, per reference
