@@ -99,7 +99,18 @@ class Node:
         return self.test_value.dtype
 
     # -- operators -----------------------------------------------------------
+    @staticmethod
+    def _operable(other):
+        """Can jnp consume ``other``? Non-array operands with their own
+        operator protocol (e.g. ``gp.cov.Covariance`` in
+        ``eta**2 * ExpQuad(...)``) must get the reflected call."""
+        import numbers
+        return isinstance(other, (Node, numbers.Number, np.ndarray,
+                                  jnp.ndarray, list, tuple))
+
     def __add__(self, other):
+        if not self._operable(other):
+            return NotImplemented
         return apply(jnp.add, self, other)
 
     def __radd__(self, other):
@@ -112,6 +123,8 @@ class Node:
         return apply(jnp.subtract, other, self)
 
     def __mul__(self, other):
+        if not self._operable(other):
+            return NotImplemented
         return apply(jnp.multiply, self, other)
 
     def __rmul__(self, other):

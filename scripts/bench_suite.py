@@ -99,10 +99,30 @@ def ode_model(pm):
     return model, ["sigma", "gamma"]
 
 
+def gp_model(pm):
+    """GP regression with sampled hyperparameters (BASELINE target config
+    #4, cf. ``pymc3/gp/gp.py:344``): Marginal GP on n=200 observations,
+    NUTS over (lengthscale, amplitude, noise)."""
+    rng = np.random.RandomState(21)
+    n = 200
+    X = np.sort(rng.uniform(0, 4, n))[:, None].astype(np.float32)
+    f_true = np.sin(2 * X[:, 0]) + 0.5 * np.cos(5 * X[:, 0])
+    y = (f_true + 0.3 * rng.randn(n)).astype(np.float32)
+    with pm.Model() as model:
+        ls = pm.Gamma("ls", alpha=2, beta=2)
+        eta = pm.HalfNormal("eta", sigma=2)
+        cov = (eta ** 2) * pm.gp.cov.ExpQuad(1, ls)
+        gp = pm.gp.Marginal(cov_func=cov)
+        sigma = pm.HalfNormal("sigma", sigma=1)
+        gp.marginal_likelihood("y", X=X, y=y, noise=sigma)
+    return model, ["ls", "eta", "sigma"]
+
+
 SUITES = {
     "best": (best_model, dict(draws=20000, tune=1000, chains=4)),
     "mixture": (mixture_model, dict(draws=2000, tune=1000, chains=4)),
     "ode": (ode_model, dict(draws=500, tune=1000, chains=2)),
+    "gp": (gp_model, dict(draws=500, tune=500, chains=4)),
 }
 
 
