@@ -172,6 +172,10 @@ def sample(draws=500, step=None, init="auto", n_init=200000, start=None,
     # list-valued stats subset: only these sampler stats cross the
     # device->host link (plus "diverging", always kept for the report)
     record_stats = kwargs.pop("record_stats", None)
+    # warm resume (TPU extension, SURVEY §5 "Checkpoint/resume"): continue
+    # a previous run from its last points AND its checkpointed kernel
+    # state (mass matrix, step size) — typically with tune=0
+    resume_from = kwargs.pop("resume_from", None)
     # legacy spelling: sample(step_kwargs={'nuts': {...}}) — keys must name
     # known steppers (cf. the reference's validation, tested at
     # ``tests/test_sampling.py:99``)
@@ -227,7 +231,23 @@ def sample(draws=500, step=None, init="auto", n_init=200000, start=None,
                 UserWarning)
 
     # -- start points per chain ----------------------------------------------
-    if start is not None:
+    warm_states = None
+    if resume_from is not None:
+        if resume_from.nchains != chains and chains != max(4, cores or 0):
+            raise ValueError(
+                f"resume_from has {resume_from.nchains} chains but "
+                f"chains={chains} was requested")
+        chains = resume_from.nchains
+        chain_starts = [resume_from.point(-1, chain=c)
+                        for c in resume_from.chains]
+        warm_states = [getattr(resume_from._straces[c], "warmup_state",
+                               None) for c in resume_from.chains]
+        if any(w is None for w in warm_states):
+            _log.warning("resume_from trace carries no warmup-state "
+                         "checkpoint; resuming from last points with "
+                         "fresh adaptation state")
+            warm_states = None
+    elif start is not None:
         chain_starts = start
     elif start_points is not None:
         chain_starts = start_points
@@ -252,7 +272,8 @@ def sample(draws=500, step=None, init="auto", n_init=200000, start=None,
         random_seed=random_seed, progressbar=progressbar,
         axis_name=axis_name, devices=devices, callback=callback,
         block_size=block_size, keep_from=keep_from,
-        trace_vars=trace_vars, record_stats=record_stats)
+        trace_vars=trace_vars, record_stats=record_stats,
+        warm_states=warm_states)
     t_sampling = time.time() - t_start
 
     if result["interrupted"]:
@@ -416,7 +437,7 @@ def _resolve_trace_vars(model, trace):
 def _device_sample(model, step, q0, draws, tune, random_seed, progressbar,
                    axis_name=None, devices=None, callback=None,
                    block_size=None, keep_from=0, trace_vars=None,
-                   record_stats=None):
+                   record_stats=None, warm_states=None):
     """Run warmup+draws as a sequence of fixed-size jitted scan blocks,
     vmapped (and optionally mesh-sharded) over chains.
 
@@ -507,6 +528,8 @@ def _device_sample(model, step, q0, draws, tune, random_seed, progressbar,
                 chain_block, in_axes=(0, None), out_axes=(0, 0),
                 axis_name=LOCAL_CHAIN_AXIS))
             init_state = jax.jit(jax.vmap(step.kernel_init))(jnp.asarray(q0))
+        if warm_states is not None:
+            init_state = _restore_warmup_state(init_state, warm_states)
         init_carry = (chain_keys, jnp.asarray(q0), init_state)
         time_axis = 1  # outputs are (chains, block, ...)
 
@@ -701,6 +724,27 @@ def _flush_to_traces(model, step, result, trace_arg, chain_idx, chains,
         strace.close()
         traces.append(strace)
     return traces
+
+
+def _restore_warmup_state(template_state, warm_states):
+    """Rebuild the (chains, ...) kernel-state pytree from per-chain
+    checkpoints written by ``_extract_warmup_state`` (leaf-ordered dict).
+    Falls back to the fresh template when the structure does not match
+    (e.g. resuming with a different stepper)."""
+    leaves, treedef = jax.tree_util.tree_flatten(template_state)
+    try:
+        stacked = []
+        for i, leaf in enumerate(leaves):
+            per_chain = [np.asarray(w[f"leaf{i}"]) for w in warm_states]
+            arr = jnp.asarray(np.stack(per_chain)).astype(leaf.dtype)
+            if arr.shape != leaf.shape:
+                raise ValueError(f"leaf{i}: {arr.shape} != {leaf.shape}")
+            stacked.append(arr)
+    except (KeyError, ValueError) as e:
+        _log.warning(f"warmup-state checkpoint does not match the current "
+                     f"kernel state ({e}); resuming with fresh adaptation")
+        return template_state
+    return jax.tree_util.tree_unflatten(treedef, stacked)
 
 
 def _extract_warmup_state(final_state, ci):

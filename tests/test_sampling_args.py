@@ -243,3 +243,53 @@ class TestRecordStatsSubset:
         assert "diverging" in trace.stat_names  # always kept
         assert "energy" not in trace.stat_names
         assert trace.get_sampler_stats("depth").shape == (40,)
+
+
+class TestWarmResume:
+    """``resume_from`` (TPU extension, SURVEY §5 checkpoint/resume — the
+    gap the reference leaves open: its sampler state is never
+    checkpointed): continue a run with tune=0 from the previous kernel
+    state."""
+
+    def test_resume_carries_kernel_state(self):
+        _, model, _ = models.simple_model()
+        tr1 = pm.sample(draws=100, tune=200, chains=4, model=model,
+                        progressbar=False, random_seed=1,
+                        compute_convergence_checks=False)
+        tr2 = pm.sample(draws=100, tune=0, chains=4, model=model,
+                        progressbar=False, random_seed=2, resume_from=tr1,
+                        compute_convergence_checks=False)
+        e1 = np.asarray(tr1.get_sampler_stats("step_size",
+                                              combine=False))[:, -1]
+        e2 = np.asarray(tr2.get_sampler_stats("step_size",
+                                              combine=False))[:, 0]
+        np.testing.assert_allclose(e1, e2, rtol=1e-5)
+        assert len(tr2) == 100
+
+    def test_resume_after_save_load(self, tmp_path):
+        """The checkpoint survives save_trace/load_trace."""
+        _, model, _ = models.simple_model()
+        with model:
+            tr1 = pm.sample(draws=100, tune=200, chains=2,
+                            progressbar=False, random_seed=3,
+                            compute_convergence_checks=False)
+            d = pm.save_trace(tr1, str(tmp_path / "ckpt"), overwrite=True)
+            loaded = pm.load_trace(d)
+            tr2 = pm.sample(draws=50, tune=0, chains=2, progressbar=False,
+                            random_seed=4, resume_from=loaded,
+                            compute_convergence_checks=False)
+        e1 = np.asarray(tr1.get_sampler_stats("step_size",
+                                              combine=False))[:, -1]
+        e2 = np.asarray(tr2.get_sampler_stats("step_size",
+                                              combine=False))[:, 0]
+        np.testing.assert_allclose(e1, e2, rtol=1e-5)
+
+    def test_resume_chain_count_mismatch_raises(self):
+        _, model, _ = models.simple_model()
+        tr1 = pm.sample(draws=20, tune=20, chains=2, model=model,
+                        progressbar=False, random_seed=1,
+                        compute_convergence_checks=False)
+        with pytest.raises(ValueError, match="chains"):
+            pm.sample(draws=10, tune=0, chains=8, model=model,
+                      progressbar=False, resume_from=tr1,
+                      compute_convergence_checks=False)
