@@ -68,8 +68,8 @@ def main():
     from bench import build_model as radon_model
     from bench_suite import SUITES
 
-    only = sys.argv[1:] or ["radon", "best", "mixture", "ode", "gp",
-                            "advi", "smc"]
+    only = sys.argv[1:] or ["radon", "schools", "best", "mixture", "ode",
+                            "gp", "advi", "smc"]
     out = {"backend": "cpu (stock XLA:CPU jaxlib)",
            "note": "config-identical stand-in: this framework on true "
                    "CPU at each reference asv config (Theano reference "
@@ -94,7 +94,7 @@ def main():
         out["configs"]["radon"] = res
         print(json.dumps({"config": "radon", **res}), flush=True)
 
-    for name in ("best", "mixture", "ode", "gp"):
+    for name in ("schools", "best", "mixture", "ode", "gp"):
         if name not in only:
             continue
         build, cfg = SUITES[name]

@@ -118,7 +118,21 @@ def gp_model(pm):
     return model, ["ls", "eta", "sigma"]
 
 
+def schools_model(pm):
+    """Eight-schools centered hierarchical Normal (BASELINE target config
+    #1, cf. ``pymc3/examples/gelman_schools.py``)."""
+    y = np.array([28., 8., -3., 7., -1., 1., 18., 12.], dtype=np.float32)
+    s = np.array([15., 10., 16., 11., 9., 11., 10., 18.], dtype=np.float32)
+    with pm.Model() as model:
+        mu = pm.Normal("mu", mu=0, sigma=5)
+        tau = pm.HalfCauchy("tau", beta=5)
+        theta = pm.Normal("theta", mu=mu, sigma=tau, shape=8)
+        pm.Normal("obs", mu=theta, sigma=s, observed=y)
+    return model, ["mu", "tau"]
+
+
 SUITES = {
+    "schools": (schools_model, dict(draws=1000, tune=1000, chains=4)),
     "best": (best_model, dict(draws=20000, tune=1000, chains=4)),
     "mixture": (mixture_model, dict(draws=2000, tune=1000, chains=4)),
     "ode": (ode_model, dict(draws=500, tune=1000, chains=2)),
