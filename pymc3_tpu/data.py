@@ -159,6 +159,12 @@ class MinibatchNode(NamedNode):
                              f"got {sampling!r}")
         if not isinstance(self.batch_size, int):
             sampling = "random"  # multi-axis batch specs keep the gather
+        elif self.batch_size >= data.shape[0]:
+            # a window as large as the data would need a slice past the
+            # circular padding (dynamic_slice clamps the offset, biasing
+            # toward the leading rows); i.i.d. sampling-with-replacement
+            # is both correct and what the reference does here
+            sampling = "random"
         self.sampling = sampling
         if sampling == "window":
             rng = np.random.RandomState(
@@ -196,6 +202,10 @@ class MinibatchNode(NamedNode):
         bs = self.batch_size if isinstance(self.batch_size, int) \
             else self.batch_size[0]
         if key is None:
+            # match _test_value: in window mode the leading rows of the
+            # SHUFFLED copy sit at original positions _perm[:bs]
+            if self.sampling == "window":
+                return jnp.asarray(self._perm[:bs])
             return jnp.arange(bs)
         fkey = jax.random.fold_in(key, self._fold)
         if self.sampling == "window":

@@ -265,17 +265,31 @@ class DifferentialEquation:
                 "outputs_written": int(out_f), "complete":
                 bool(int(out_f) >= n_out)}
 
-    def calibrate(self, y0, theta, margin=3.0):
-        """Set ``max_steps`` from the measured attempt count at a
-        concrete (y0, theta) with a safety margin. Called automatically on
-        first ``__call__`` when ``max_steps`` was not given (test-point
-        values); an undersized bound can never be silently wrong — the
-        solver NaN-poisons unfinished outputs and the draw is rejected."""
-        stats = self._count_steps(np.asarray(y0, dtype=np.float64),
-                                  np.asarray(theta, dtype=np.float64))
-        if stats["complete"]:
-            self.max_steps = max(int(np.ceil(margin * stats["attempts"])),
-                                 2 * self.n_times, 32)
+    def calibrate(self, y0, theta, margin=3.0, probe_scales=(0.5, 1.0, 2.0)):
+        """Set ``max_steps`` from measured DOPRI5 attempt counts with a
+        safety margin. Called automatically on first ``__call__`` when
+        ``max_steps`` was not given.
+
+        Posterior draws land away from the test point, often in stiffer
+        parameter regions that need more controller steps; a bound sized
+        from the test point alone silently rejects those draws (NaN
+        poisoning -> -inf logp), truncating the posterior toward easy-ODE
+        regions. So the bound covers a 4x span of parameter magnitudes
+        (``theta`` scaled by each of ``probe_scales``) and takes the worst
+        probe. If any probe fails to finish within the probe budget the
+        pre-calibration blanket bound (``clip(16*n_times, 256, 4096)``)
+        is kept. An undersized bound is still never silently wrong for a
+        single draw — unfinished solves are NaN-poisoned and rejected."""
+        y0 = np.asarray(y0, dtype=np.float64)
+        theta = np.asarray(theta, dtype=np.float64)
+        attempts = []
+        for s in probe_scales:
+            stats = self._count_steps(y0, theta * s)
+            if not stats["complete"]:
+                return stats
+            attempts.append(stats["attempts"])
+        self.max_steps = max(int(np.ceil(margin * max(attempts))),
+                             4 * self.n_times, 64)
         return stats
 
     def _solve(self, y0, theta):

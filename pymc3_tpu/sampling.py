@@ -142,6 +142,9 @@ def sample(draws=500, step=None, init="auto", n_init=200000, start=None,
     model = modelcontext(model)
     _empty_model_error(model)
 
+    # keep the None sentinel: resume_from validation below must be able to
+    # tell "user passed chains=4" from "defaulted to 4"
+    chains_requested = chains
     if chains is None:
         chains = max(4, cores or 0)
     if target_accept is not None:
@@ -233,10 +236,11 @@ def sample(draws=500, step=None, init="auto", n_init=200000, start=None,
     # -- start points per chain ----------------------------------------------
     warm_states = None
     if resume_from is not None:
-        if resume_from.nchains != chains and chains != max(4, cores or 0):
+        if chains_requested is not None \
+                and resume_from.nchains != chains_requested:
             raise ValueError(
                 f"resume_from has {resume_from.nchains} chains but "
-                f"chains={chains} was requested")
+                f"chains={chains_requested} was requested")
         chains = resume_from.nchains
         chain_starts = [resume_from.point(-1, chain=c)
                         for c in resume_from.chains]

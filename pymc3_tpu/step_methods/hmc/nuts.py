@@ -470,9 +470,23 @@ class NUTS(GradientSharedStep):
             # In a mesh-sharded run the chains on each device are vmapped
             # under LOCAL_CHAIN_AXIS inside the shard_map over the mesh
             # axis — pool over both so every chain everywhere shares eps.
+            # Lanes on a reduced per-lane step (eps_scale < 1, the stuck-
+            # lane fallback below) report acceptance at a SMALLER eps than
+            # the bar being adapted; including them inflates the pooled
+            # accept-prob and biases eps upward for everyone else. Pool
+            # over the unscaled lanes only, falling back to the plain mean
+            # in the (pathological) all-lanes-scaled case.
             from ...parallel import pooled_axes
             pool = pooled_axes(self.axis_name)
-            da_accept = jax.lax.pmean(mean_accept, pool)
+            unscaled = state.eps_scale >= 1.0
+            n_unscaled = jax.lax.psum(unscaled.astype(floatX()), pool)
+            # where (not *) so a NaN accept on a scaled lane can't poison
+            # the psum through 0 * NaN
+            masked = jnp.where(unscaled, mean_accept, 0.0)
+            da_accept = jnp.where(
+                n_unscaled > 0,
+                jax.lax.psum(masked, pool) / jnp.maximum(n_unscaled, 1.0),
+                jax.lax.pmean(mean_accept, pool))
 
         da_new = da_update(state.da, da_accept,
                            tctx.tune & self.adapt_step_size,

@@ -84,13 +84,23 @@ class Inference:
         # tunneled dev TPU a 100 MB design matrix costs ~14 s PER CALL
         # (measured: the batch-8192 logistic bench ran at 194 steps/s
         # through a fresh fit vs ~4.5k steps/s with the step reused).
-        cache_key = (obj_n_mc,
-                     None if obj_optimizer is None else id(obj_optimizer),
-                     total_grad_norm_constraint)
+        # The model's pm.Data values are baked into the trace as constants,
+        # so the key includes every shared container's version counter —
+        # set_data() between fit() calls forces a retrace (the reference
+        # gets this for free from Theano shared variables). The optimizer
+        # is held strongly and compared with `is`: an id() of a collected
+        # object can be recycled by a different optimizer.
+        data_versions = tuple(
+            (name, node.version)
+            for name, node in sorted(self.approx.model.named_vars.items())
+            if hasattr(node, "version") and hasattr(node, "set_value"))
+        cache_key = (obj_n_mc, total_grad_norm_constraint, data_versions)
         cached = getattr(self, "_step_cache", None)
-        if cached is not None and cached[0] == cache_key:
-            _, step, opt, run_block = cached
+        if cached is not None and cached[0] == cache_key \
+                and cached[1] is obj_optimizer:
+            _, _, step, opt, run_block = cached
         else:
+            passed_optimizer = obj_optimizer
             if obj_optimizer is None:
                 obj_optimizer = adagrad_window()
             step, opt = self.objective.step_function(
@@ -112,7 +122,8 @@ class Inference:
                     length=nsteps)
                 return params, opt_state, key, losses
 
-            self._step_cache = (cache_key, step, opt, run_block)
+            self._step_cache = (cache_key, passed_optimizer, step, opt,
+                                run_block)
 
         params = self.approx.params
         opt_state = opt.init(params) if self.state is None else self.state

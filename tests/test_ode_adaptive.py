@@ -131,3 +131,25 @@ def test_t0_equal_first_observation():
     with pytest.raises(ValueError):
         pm.ode.DifferentialEquation(func=freefall, times=np.array([0.0]),
                                     n_states=1, n_theta=2, t0=0)
+
+
+def test_calibration_covers_stiffer_parameter_regions():
+    """Auto max_steps must budget for posterior draws stiffer than the
+    test point (advisor r4: a test-point-only bound NaN-rejects stiffer
+    draws, silently truncating the posterior). The calibration probes
+    theta at x0.5/x1/x2, so a draw at twice the test-point decay rate
+    must still complete within the bound."""
+    def decay(y, t, p):
+        return -p[0] * y[0]
+
+    times = np.arange(0.25, 6.0, 0.25)
+    ode = DifferentialEquation(decay, times, n_states=1, n_theta=1,
+                               method="rk45")
+    stats = ode.calibrate(np.array([1.0]), np.array([20.0]))
+    assert stats["complete"]
+    assert ode.max_steps >= 4 * len(times)
+    # a posterior draw at 2x the test-point rate completes un-poisoned
+    sol = np.asarray(ode._solve(jnp.asarray([1.0]), jnp.asarray([40.0])))
+    assert np.isfinite(sol).all()
+    np.testing.assert_allclose(
+        sol[:, 0], np.exp(-40.0 * times), atol=1e-4)

@@ -159,3 +159,51 @@ def test_asvgd_amortized():
     tr = approx.sample(1000)
     assert abs(tr["mu"].mean() - data.mean()) < 0.2
     assert abs(tr["sd"].mean() - data.std()) < 0.4
+
+
+def test_fit_retraces_after_set_data():
+    """set_data between fit() calls must invalidate the cached compiled
+    step: the data values are baked into the trace as constants, so a
+    stale step would silently keep optimizing against the old data
+    (advisor r4; the reference gets this for free from Theano shared
+    variables)."""
+    np.random.seed(1)
+    d1 = (np.random.randn(200) * 0.5 + 3.0).astype(np.float32)
+    d2 = (np.random.randn(200) * 0.5 - 3.0).astype(np.float32)
+    with pm.Model() as model:
+        y = pm.Data("y", d1)
+        mu = pm.Normal("mu", 0.0, 10.0)
+        pm.Normal("obs", mu=mu, sigma=0.5, observed=y)
+        inf = v.ADVI(model=model)
+        opt = v.updates.adam(learning_rate=0.1)
+        approx = inf.fit(n=1500, progressbar=False, random_seed=1,
+                         obj_optimizer=opt)
+        assert abs(approx.mean[0] - 3.0) < 0.2
+        pm.set_data({"y": d2})
+        approx = inf.fit(n=1500, progressbar=False, random_seed=2,
+                         obj_optimizer=opt)
+    assert abs(approx.mean[0] - (-3.0)) < 0.2
+
+
+def test_fit_cache_distinguishes_optimizers():
+    """Two different optimizer objects must not share a cached step even
+    if the first was garbage collected (id() recycling, advisor r4)."""
+    np.random.seed(2)
+    data = (np.random.randn(100) + 1.0).astype(np.float32)
+    with pm.Model() as model:
+        mu = pm.Normal("mu", 0.0, 10.0)
+        pm.Normal("obs", mu=mu, sigma=1.0, observed=data)
+    inf = v.ADVI(model=model)
+    inf.fit(n=50, progressbar=False, random_seed=1,
+            obj_optimizer=v.updates.adam(learning_rate=0.05))
+    cached_step = inf._step_cache[2]
+    # fresh optimizer object (the old one is collectable) -> new step
+    inf.fit(n=50, progressbar=False, random_seed=1,
+            obj_optimizer=v.updates.adam(learning_rate=0.05))
+    assert inf._step_cache[2] is not cached_step
+    # the SAME object -> cache hit
+    opt = v.updates.adam(learning_rate=0.05)
+    inf.fit(n=50, progressbar=False, random_seed=1, obj_optimizer=opt)
+    cached_step = inf._step_cache[2]
+    inf.fit(n=50, progressbar=False, random_seed=2, obj_optimizer=opt)
+    assert inf._step_cache[2] is cached_step
