@@ -710,11 +710,16 @@ def _flush_to_traces(model, step, result, trace_arg, chain_idx, chains,
                              vars=unobserved)
         else:
             strace = NDArray(model=model, vars=unobserved)
-        strace.setup(nkept, chain_idx + ci, stats_dtypes)
+        # stats go only to backends that store them (cf. the reference's
+        # ``supports_sampler_stats`` gate, ``sampling.py:615-620``) — a
+        # SQLite trace still records the draws, it just drops the stats
+        keep_stats = strace.supports_sampler_stats
+        strace.setup(nkept, chain_idx + ci,
+                     stats_dtypes if keep_stats else None)
         if nkept:
             chain_vals = {k: v[ci] for k, v in var_values.items()}
             stats_batch = None
-            if stats_dtypes:
+            if stats_dtypes and keep_stats:
                 stats_batch = []
                 for s_i, dtypes in enumerate(step.stats_dtypes):
                     src = result["stats"][s_i]

@@ -277,3 +277,58 @@ class TestBackendEquality:
         exp = tr.get_values("x", burn=5, thin=2, combine=False)
         for g, e in zip(got, exp):
             np.testing.assert_allclose(g, e[:10], rtol=1e-6)
+
+
+class TestSQLiteViaSample:
+    def test_sample_into_sqlite_drops_stats(self, sampled, tmp_path):
+        """pm.sample with a SQLite trace: the stats gate (reference
+        ``sampling.py:615-620``) routes draws in and drops sampler stats
+        instead of erroring."""
+        model, _ = sampled
+        name = str(tmp_path / "via_sample.sqlite")
+        with model:
+            tr = pm.sample(draws=30, tune=30, chains=1, trace=SQLite(name),
+                           progressbar=False, random_seed=1,
+                           compute_convergence_checks=False)
+            loaded = sqlite_mod.load(name)
+        assert len(tr) == 30
+        np.testing.assert_allclose(loaded.get_values("x"),
+                                   tr.get_values("x", combine=True))
+
+    def test_draw_numbering_resumes(self, sampled, tmp_path):
+        """A second setup() on the same chain continues draw numbering
+        (the reference's max_draw resume)."""
+        model, _ = sampled
+        name = str(tmp_path / "resume.sqlite")
+        with model:
+            s1 = SQLite(name, model=model)
+            s1.setup(5, 0)
+            for _ in range(5):
+                s1.record(model.test_point)
+            s1.close()
+            s2 = SQLite(name, model=model)
+            s2.setup(5, 0)
+            assert s2.draw_idx == 5
+            for _ in range(5):
+                s2.record(model.test_point)
+            s2.close()
+            loaded = sqlite_mod.load(name)
+        assert len(loaded) == 10
+
+    def test_bit_exact_roundtrip(self, sampled, tmp_path):
+        """Blob storage round-trips float32 values bit-exactly (the
+        reference's FLOAT columns go through REAL)."""
+        model, _ = sampled
+        name = str(tmp_path / "exact.sqlite")
+        vals = np.array([[1/3, np.pi], [1e-30, -7.0], [2/7, 1e30]],
+                        dtype=np.float64)
+        with model:
+            s = SQLite(name, model=model)
+            s.setup(3, 0)
+            for v in vals:
+                pt = dict(model.test_point)
+                pt["x"] = np.asarray(v, dtype=pt["x"].dtype)
+                s.record(pt)
+            s.close()
+            out = sqlite_mod.load(name).get_values("x")
+        np.testing.assert_array_equal(out, vals.astype(out.dtype))
