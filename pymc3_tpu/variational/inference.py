@@ -95,6 +95,10 @@ class Inference:
             for name, node in sorted(self.approx.model.named_vars.items())
             if hasattr(node, "version") and hasattr(node, "set_value"))
         cache_key = (obj_n_mc, total_grad_norm_constraint, data_versions)
+        # refine() replays the previous fit's objective settings
+        self._refine_kwargs = dict(
+            obj_n_mc=obj_n_mc, obj_optimizer=obj_optimizer, block=block,
+            total_grad_norm_constraint=total_grad_norm_constraint)
         cached = getattr(self, "_step_cache", None)
         if cached is not None and cached[0] == cache_key \
                 and cached[1] is obj_optimizer:
@@ -126,7 +130,14 @@ class Inference:
                                 run_block)
 
         params = self.approx.params
-        opt_state = opt.init(params) if self.state is None else self.state
+        # a carried-over optimizer state is only valid with the optimizer
+        # that produced it: a rebuilt step with a different optimizer
+        # (different object, different algorithm) re-initializes
+        if self.state is None or getattr(self, "_state_opt", None) is not opt:
+            opt_state = opt.init(params)
+        else:
+            opt_state = self.state
+        self._state_opt = opt
 
         if random_seed is None:
             random_seed = np.random.randint(0, 2**31 - 1)
@@ -160,9 +171,11 @@ class Inference:
         return self.approx
 
     def refine(self, n, progressbar=True):
-        """Refine the solution using the last compiled step function
-        (cf. ``inference.py:277``)."""
-        return self.fit(n, progressbar=progressbar)
+        """Refine the solution using the last compiled step function and
+        the last fit's objective settings — optimizer included, so the
+        carried optimizer state stays valid (cf. ``inference.py:277``)."""
+        kwargs = getattr(self, "_refine_kwargs", {})
+        return self.fit(n, progressbar=progressbar, **kwargs)
 
 
 class KLqp(Inference):

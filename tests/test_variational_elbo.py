@@ -116,9 +116,6 @@ class TestFitMethodGrid:
                              ids=[g[0] for g in GRID])
     def test_fit_recovers_posterior(self, method, kwargs, tol, check_sd,
                                     use_minibatch):
-        if use_minibatch and method in ("svgd", "asvgd"):
-            pytest.skip("stein methods on minibatch: covered full-data; "
-                        "minibatch run cost not worth CI time")
         kwargs = dict(kwargs)
         if kwargs.get("obj_optimizer") is None:
             kwargs["obj_optimizer"] = v.updates.adam(
