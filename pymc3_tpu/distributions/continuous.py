@@ -626,7 +626,9 @@ class StudentT(Continuous):
         self.mean = self.median = self.mode = self.mu = as_node(
             floatX(mu) if not isinstance(mu, Node) else mu)
         self.variance = apply(
-            lambda nu, lam: jnp.where(nu > 2, nu / (nu - 2.0) / lam, jnp.inf),
+            lambda nu, lam: jnp.where(
+                nu > 2, nu / jnp.where(nu > 2, nu - 2.0, 1.0) / lam,
+                jnp.inf),
             self.nu, self.lam)
         if kwargs.get("shape") is None:
             kwargs["shape"] = self._infer_shape(kwargs.pop("shape", None),
@@ -840,7 +842,8 @@ class InverseGamma(PositiveContinuous):
         self.alpha = as_node(floatX(alpha) if not isinstance(alpha, Node) else alpha)
         self.beta = as_node(floatX(beta) if not isinstance(beta, Node) else beta)
         self.mean = apply(
-            lambda a, b: jnp.where(a > 1, b / (a - 1.0), jnp.inf),
+            lambda a, b: jnp.where(
+                a > 1, b / jnp.where(a > 1, a - 1.0, 1.0), jnp.inf),
             self.alpha, self.beta)
         self.mode = apply(lambda a, b: b / (a + 1.0), self.alpha, self.beta)
         if kwargs.get("shape") is None:
@@ -1087,8 +1090,11 @@ class SkewNormal(Continuous):
         env, memo = _norm(env, memo)
         mu, sigma, tau, alpha = self._ev_params(
             ("mu", "sigma", "tau", "alpha"), env, memo)
+        # log(2 Phi(alpha z)) via log_ndtr: log1p(erf(.)) cancels to
+        # log(0) = -inf in float32 once alpha*z < ~ -5 (caught by the
+        # parameter-domain matrix, tests/test_distributions_matrix.py)
         return bound(
-            jnp.log(1.0 + jss.erf(alpha * (value - mu) * tau ** 0.5 / 2.0 ** 0.5))
+            jnp.log(2.0) + jss.log_ndtr(alpha * (value - mu) * tau ** 0.5)
             + (-tau * (value - mu) ** 2 + jnp.log(tau / np.pi / 2.0)) / 2.0,
             tau > 0, sigma > 0)
 

@@ -161,11 +161,19 @@ class DiscreteWeibull(Discrete):
 
     def logp(self, value, env=None, memo=None):
         env, memo = _norm(env, memo)
+        from ..math import _log1mexp
         q, beta = self._ev_params(("q", "beta"), env, memo)
         vv = jnp.maximum(value, 0)
+        # log(q^(v^b) - q^((v+1)^b)) evaluated in log space:
+        # v^b log q + log(1 - q^((v+1)^b - v^b)) — the direct difference
+        # underflows to log(0) = -inf once q^(v^b) < float-tiny (caught
+        # by the parameter-domain matrix at q=0.25, v=21)
+        eps = jnp.finfo(floatX()).eps
+        qs = jnp.clip(q, eps, 1.0 - eps)
+        lq = jnp.log(qs)
+        d = jnp.power(vv + 1.0, beta) - jnp.power(vv, beta)
         return bound(
-            jnp.log(jnp.power(q, jnp.power(vv, beta))
-                    - jnp.power(q, jnp.power(vv + 1.0, beta))),
+            jnp.power(vv, beta) * lq + _log1mexp(-d * lq),
             value >= 0, q > 0, q < 1, beta > 0)
 
     def random(self, point=None, size=None):
