@@ -515,3 +515,116 @@ class TestExtraScipyAgreement:
         x = np.asarray(pm.BetaBinomial.dist(alpha=2.0, beta=3.0, n=10)
                        .random(size=40000))
         np.testing.assert_allclose(x.mean(), 10 * 2.0 / 5.0, atol=0.1)
+
+
+# ---------------------------------------------------------------------------
+# round 5: 2-D dist_shape x size cells and further correctness pins
+# (the remaining depth of the reference matrix,
+#  /root/reference/pymc3/tests/test_distributions_random.py:1)
+# ---------------------------------------------------------------------------
+TWO_D_DISTS = [
+    (pm.Normal, dict(mu=0.0, sigma=1.0)),
+    (pm.Gamma, dict(alpha=2.0, beta=1.0)),
+    (pm.Uniform, dict(lower=0.0, upper=1.0)),
+    (pm.Binomial, dict(n=10, p=0.4)),
+    (pm.Poisson, dict(mu=3.0)),
+    (pm.Weibull, dict(alpha=2.0, beta=1.0)),
+]
+
+
+@pytest.mark.parametrize("dist_cls,params", TWO_D_DISTS,
+                         ids=lambda d: getattr(d, "__name__", ""))
+class Test2DShapeMatrix:
+    def test_2d_dist_shape(self, dist_cls, params):
+        d = dist_cls.dist(shape=(2, 5), **params)
+        assert np.asarray(d.random()).shape == (2, 5)
+        assert np.asarray(d.random(size=7)).shape == (7, 2, 5)
+        assert np.asarray(d.random(size=(3, 7))).shape == (3, 7, 2, 5)
+
+    def test_2d_params_implied_shape(self, dist_cls, params):
+        """2-D parameter arrays imply the dist shape (reference
+        ``test_parameters_stacked_shape`` semantics)."""
+        arr = {k: np.asarray(v) * np.ones((2, 3),
+                                          dtype=np.asarray(v).dtype)
+               for k, v in params.items()}
+        d = dist_cls.dist(shape=(2, 3), **arr)
+        assert np.asarray(d.random()).shape == (2, 3)
+        assert np.asarray(d.random(size=4)).shape == (4, 2, 3)
+
+
+class TestMoreRandomMatchesScipy:
+    """KS two-sample pins for families the earlier rounds left to shape
+    checks only (cf. ``pymc3_random``, reference ``:58-77``)."""
+
+    N = 4000
+
+    def _ks(self, draws, ref_rvs):
+        d = np.asarray(draws).ravel()
+        r = np.asarray(ref_rvs).ravel()
+        p = st.ks_2samp(d, r).pvalue
+        assert p > 1e-4, p
+
+    def test_weibull(self):
+        np.random.seed(3)
+        self._ks(pm.Weibull.dist(alpha=2.0, beta=1.5).random(size=self.N),
+                 st.weibull_min.rvs(2.0, scale=1.5, size=self.N,
+                                    random_state=1))
+
+    def test_gumbel(self):
+        np.random.seed(4)
+        self._ks(pm.Gumbel.dist(mu=1.0, beta=2.0).random(size=self.N),
+                 st.gumbel_r.rvs(1.0, 2.0, size=self.N, random_state=1))
+
+    def test_triangular(self):
+        np.random.seed(5)
+        self._ks(pm.Triangular.dist(lower=-1.0, c=0.5, upper=2.0)
+                 .random(size=self.N),
+                 st.triang.rvs(0.5, -1.0, 3.0, size=self.N, random_state=1))
+
+    def test_wald(self):
+        np.random.seed(6)
+        self._ks(pm.Wald.dist(mu=1.0, lam=2.0).random(size=self.N),
+                 st.invgauss.rvs(0.5, scale=2.0, size=self.N,
+                                 random_state=1))
+
+    def test_skewnormal(self):
+        np.random.seed(7)
+        self._ks(pm.SkewNormal.dist(mu=0.0, sigma=1.0, alpha=-3.0)
+                 .random(size=self.N),
+                 st.skewnorm.rvs(-3.0, size=self.N, random_state=1))
+
+    def test_vonmises(self):
+        np.random.seed(8)
+        self._ks(pm.VonMises.dist(mu=0.5, kappa=2.0).random(size=self.N),
+                 st.vonmises.rvs(2.0, loc=0.5, size=self.N, random_state=1))
+
+    def test_pareto(self):
+        np.random.seed(9)
+        self._ks(pm.Pareto.dist(alpha=3.0, m=1.0).random(size=self.N),
+                 st.pareto.rvs(3.0, scale=1.0, size=self.N, random_state=1))
+
+    def test_exgaussian(self):
+        np.random.seed(10)
+        self._ks(pm.ExGaussian.dist(mu=0.0, sigma=1.0, nu=2.0)
+                 .random(size=self.N),
+                 st.exponnorm.rvs(2.0, size=self.N, random_state=1))
+
+    def test_betabinomial(self):
+        np.random.seed(11)
+        draws = np.asarray(pm.BetaBinomial.dist(alpha=2.0, beta=3.0, n=20)
+                           .random(size=self.N))
+        ref = st.betabinom.rvs(20, 2.0, 3.0, size=self.N, random_state=1)
+        # chi-square on the discrete support (reference pymc3_random_discrete)
+        obs = np.bincount(draws.astype(int), minlength=21)
+        exp = np.bincount(ref, minlength=21)
+        keep = (obs + exp) > 10
+        chi2 = np.sum((obs[keep] - exp[keep]) ** 2 / (obs[keep] + exp[keep]))
+        assert chi2 < 2.5 * keep.sum(), chi2
+
+    def test_discrete_weibull_median(self):
+        np.random.seed(12)
+        d = pm.DiscreteWeibull.dist(q=0.8, beta=1.5)
+        draws = np.asarray(d.random(size=self.N))
+        # pmf-implied median equals the declared median default
+        med = int(np.median(draws))
+        assert abs(med - int(np.asarray(d.median.test_value))) <= 1
