@@ -16,20 +16,24 @@ n_right = int((censored >= high).sum())
 
 
 def build_model():
-    import jax.numpy as jnp
+    from pymc3_tpu.distributions.dist_math import normal_lcdf, normal_lccdf
 
     with pm.Model() as model:
         mu = pm.Normal("mu", 0.0, 5.0)
         sigma = pm.HalfNormal("sigma", 5.0)
         pm.Normal("obs", mu=mu, sigma=sigma, observed=uncensored)
-        # censored tails enter via the cdf mass (imputed-free formulation)
-        dist = pm.Normal.dist(mu, sigma)
-        left = node_apply(lambda lc: n_left * lc,
-                          dist.logcdf(pm.node.as_node(np.float32(low))))
+        # censored tails enter via the cdf mass (imputed-free
+        # formulation); the tail-stable lcdf/lccdf kernels, not
+        # log1p(-exp(logcdf)) — that difference collapses to log(0) once
+        # the cdf saturates at 1 in float32 and poisons the whole logp
+        # (cf. the reference's censored_data.py normal_lccdf usage)
+        left = node_apply(
+            lambda m, s: n_left * normal_lcdf(m, s, np.float32(low)),
+            mu, sigma)
         pm.Potential("left_censored", left)
         right = node_apply(
-            lambda c: n_right * jnp.log1p(-jnp.exp(c)),
-            dist.logcdf(pm.node.as_node(np.float32(high))))
+            lambda m, s: n_right * normal_lccdf(m, s, np.float32(high)),
+            mu, sigma)
         pm.Potential("right_censored", right)
     return model
 
