@@ -105,6 +105,14 @@ def main():
     n_div = int(np.sum(np.asarray(trace.get_sampler_stats("diverging"))))
     div_frac = n_div / float(draws * chains)
 
+    # posterior-moment cross-check vs the CPU stand-in run (BASELINE.md:
+    # "verify posterior moments agree within Monte-Carlo error")
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    from bench_suite import posterior_moments, moment_check
+    tpu_moments = posterior_moments(pm, trace, ["mu_a"])
+    moment_detail = None
+
     vs_baseline = None
     baseline_detail = None
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -115,6 +123,20 @@ def main():
         # per-config table (scripts/bench_baseline_cpu_all.py) with
         # back-compat for the old radon-only flat schema
         cfg_tbl = base.get("configs", {}).get("radon") or base
+        if cfg_tbl.get("moments"):
+            check = moment_check(tpu_moments, cfg_tbl["moments"])
+            moment_detail = {
+                "check": "pass" if check["pass"] else "FAIL",
+                "max_z": check["max_z"],
+                "max_sd_rel": check["max_sd_rel"],
+                "tpu_mu_a": {k: [round(x, 4) for x in
+                                 tpu_moments["mu_a"][k]]
+                             for k in ("mean", "sd")},
+                "cpu_mu_a": {k: [round(float(x), 4) for x in
+                                 np.atleast_1d(cfg_tbl["moments"]
+                                               ["mu_a"][k])]
+                             for k in ("mean", "sd")},
+            }
         if cfg_tbl.get("ess_per_sec"):
             vs_baseline = round(ess_per_sec / float(cfg_tbl["ess_per_sec"]),
                                 1)
@@ -145,6 +167,7 @@ def main():
             "compile_s": compile_info.get("compile_s"),
             "backend": jax.default_backend(),
             "baseline": baseline_detail,
+            "moment_check": moment_detail,
         },
     }
     print(json.dumps(out))

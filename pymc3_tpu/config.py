@@ -112,6 +112,15 @@ def enable_compilation_cache(tag: str = "") -> str:
     # version-skewed AOT artifact loads with wrong codegen assumptions
     import jaxlib
     sig += "_" + getattr(jaxlib, "__version__", "unk").replace(".", "")
+    # a tunneling PJRT plugin (axon) can register a SPOOFED "cpu"
+    # platform that compiles remotely: same backend name, same local
+    # /proc/cpuinfo, but AOT artifacts built for the REMOTE host's CPU.
+    # Key by the plugin's presence so the true-local and tunneled "cpu"
+    # caches never share a directory (observed round 5: feature-mismatch
+    # loads from a dir poisoned through the spoofed path).
+    import os as _os
+    if ".axon_site" in _os.environ.get("PYTHONPATH", ""):
+        sig += "_tun"
     backend = jax.default_backend()
     path = f"/tmp/pymc3_tpu_jax_cache_{backend}_{sig}"
     if tag:

@@ -43,22 +43,31 @@ sys.path.insert(0, _REPO)
 import numpy as np  # noqa: E402
 
 
-def _ess_config(pm, model, ess_vars, draws, tune, chains):
+def _ess_config(pm, model, ess_vars, draws, tune, chains,
+                target_accept=None):
     """Run compile pass + measured pass; return (ess_min/s, detail)."""
+    kw = {} if target_accept is None else dict(target_accept=target_accept)
     with model:
         pm.sample(draws=draws, tune=tune, chains=chains, model=model,
                   progressbar=False, random_seed=1,
-                  compute_convergence_checks=False)
+                  compute_convergence_checks=False, **kw)
         t0 = time.time()
         trace = pm.sample(draws=draws, tune=tune, chains=chains,
                           model=model, progressbar=False, random_seed=2,
-                          compute_convergence_checks=False)
+                          compute_convergence_checks=False, **kw)
         wall = time.time() - t0
     ess_tbl = pm.ess(trace, var_names=ess_vars)
     ess = float(min(np.min(np.asarray(ess_tbl[v])) for v in ess_vars))
-    return {"ess_per_sec": round(ess / wall, 3), "ess_min": round(ess, 1),
-            "wall_s": round(wall, 2), "draws": draws, "tune": tune,
-            "chains": chains}
+    # posterior moments for the TPU run's cross-check (BASELINE.md:
+    # "verify posterior moments agree within Monte-Carlo error")
+    from bench_suite import posterior_moments
+    moments = posterior_moments(pm, trace, ess_vars)
+    res = {"ess_per_sec": round(ess / wall, 3), "ess_min": round(ess, 1),
+           "wall_s": round(wall, 2), "draws": draws, "tune": tune,
+           "chains": chains, "moments": moments}
+    if target_accept is not None:
+        res["target_accept"] = target_accept
+    return res
 
 
 def main():
@@ -68,8 +77,8 @@ def main():
     from bench import build_model as radon_model
     from bench_suite import SUITES
 
-    only = sys.argv[1:] or ["radon", "schools", "best", "mixture", "ode",
-                            "gp", "advi", "smc"]
+    only = sys.argv[1:] or ["radon", "schools", "schools_noncentered",
+                            "best", "mixture", "ode", "gp", "advi", "smc"]
     out = {"backend": "cpu (stock XLA:CPU jaxlib)",
            "note": "config-identical stand-in: this framework on true "
                    "CPU at each reference asv config (Theano reference "
@@ -94,13 +103,14 @@ def main():
         out["configs"]["radon"] = res
         print(json.dumps({"config": "radon", **res}), flush=True)
 
-    for name in ("schools", "best", "mixture", "ode", "gp"):
+    for name in ("schools", "schools_noncentered", "best", "mixture",
+                 "ode", "gp"):
         if name not in only:
             continue
         build, cfg = SUITES[name]
         model, ess_vars = build(pm)
         res = _ess_config(pm, model, ess_vars, cfg["draws"], cfg["tune"],
-                          cfg["chains"])
+                          cfg["chains"], cfg.get("target_accept"))
         out["configs"][name] = res
         print(json.dumps({"config": name, **res}), flush=True)
 

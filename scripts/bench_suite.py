@@ -120,7 +120,10 @@ def gp_model(pm):
 
 def schools_model(pm):
     """Eight-schools centered hierarchical Normal (BASELINE target config
-    #1, cf. ``pymc3/examples/gelman_schools.py``)."""
+    #1, cf. ``pymc3/examples/gelman_schools.py``). Centered is the
+    target's parameterization; it needs target_accept 0.95 + 2000 tune to
+    traverse the funnel (r4 recorded R-hat 1.18 at 0.8/1000 — not a
+    usable number)."""
     y = np.array([28., 8., -3., 7., -1., 1., 18., 12.], dtype=np.float32)
     s = np.array([15., 10., 16., 11., 9., 11., 10., 18.], dtype=np.float32)
     with pm.Model() as model:
@@ -131,13 +134,67 @@ def schools_model(pm):
     return model, ["mu", "tau"]
 
 
+def schools_noncentered_model(pm):
+    """Non-centered companion (same posterior over (mu, tau), no funnel
+    in the sampled geometry) — the contrast row and the moment-reference
+    model for the centered target."""
+    y = np.array([28., 8., -3., 7., -1., 1., 18., 12.], dtype=np.float32)
+    s = np.array([15., 10., 16., 11., 9., 11., 10., 18.], dtype=np.float32)
+    with pm.Model() as model:
+        mu = pm.Normal("mu", mu=0, sigma=5)
+        tau = pm.HalfCauchy("tau", beta=5)
+        eta = pm.Normal("eta", mu=0.0, sigma=1.0, shape=8)
+        pm.Normal("obs", mu=mu + tau * eta, sigma=s, observed=y)
+    return model, ["mu", "tau"]
+
+
 SUITES = {
-    "schools": (schools_model, dict(draws=1000, tune=1000, chains=4)),
+    "schools": (schools_model,
+                dict(draws=2000, tune=2000, chains=4, target_accept=0.95)),
+    "schools_noncentered": (schools_noncentered_model,
+                            dict(draws=2000, tune=1000, chains=4)),
     "best": (best_model, dict(draws=20000, tune=1000, chains=4)),
     "mixture": (mixture_model, dict(draws=2000, tune=1000, chains=4)),
     "ode": (ode_model, dict(draws=500, tune=1000, chains=2)),
     "gp": (gp_model, dict(draws=500, tune=500, chains=4)),
 }
+
+# moment-reference model overrides: the centered schools target is
+# validated against the non-centered formulation of the SAME posterior
+REF_BUILDERS = {"schools": schools_noncentered_model}
+
+
+def posterior_moments(pm, trace, var_names):
+    """Per-element posterior mean/sd/MCSE for the tracked variables."""
+    out = {}
+    ess_tbl = pm.ess(trace, var_names=var_names)
+    for v in var_names:
+        vals = np.asarray(trace[v]).reshape(len(trace[v]), -1)
+        mean = vals.mean(axis=0)
+        sd = vals.std(axis=0)
+        ess = np.atleast_1d(np.asarray(ess_tbl[v], dtype=np.float64)).ravel()
+        mcse = sd / np.sqrt(np.maximum(ess, 1.0))
+        out[v] = {"mean": mean.tolist(), "sd": sd.tolist(),
+                  "mcse": mcse.tolist()}
+    return out
+
+
+def moment_check(bench_m, ref_m, z_max=4.0, sd_rtol=0.2):
+    """|Δmean|/MCSE gate (BASELINE.md: 'posterior moments agree within
+    Monte-Carlo error') plus a relative sd gate."""
+    worst_z, worst_sd = 0.0, 0.0
+    for v in bench_m:
+        mb, mr = (np.asarray(bench_m[v]["mean"]),
+                  np.asarray(ref_m[v]["mean"]))
+        eb, er = (np.asarray(bench_m[v]["mcse"]),
+                  np.asarray(ref_m[v]["mcse"]))
+        z = np.abs(mb - mr) / np.sqrt(eb ** 2 + er ** 2 + 1e-300)
+        worst_z = max(worst_z, float(np.max(z)))
+        sb, sr = np.asarray(bench_m[v]["sd"]), np.asarray(ref_m[v]["sd"])
+        rel = np.abs(sb - sr) / np.maximum(np.abs(sr), 1e-12)
+        worst_sd = max(worst_sd, float(np.max(rel)))
+    return {"pass": bool(worst_z < z_max and worst_sd < sd_rtol),
+            "max_z": round(worst_z, 2), "max_sd_rel": round(worst_sd, 3)}
 
 
 def main():
@@ -175,6 +232,26 @@ def main():
         ess = float(min(np.min(np.asarray(ess_tbl[v])) for v in ess_vars))
         rhat_tbl = pm.rhat(trace, var_names=ess_vars)
         rhat = float(max(np.max(np.asarray(rhat_tbl[v])) for v in ess_vars))
+
+        # moment validation (BASELINE.md procedure): an independent
+        # longer reference run of the same posterior — 4x draws, deep
+        # tune, target_accept 0.95; schools validates centered-vs-
+        # non-centered (same posterior, funnel-free geometry)
+        ref_build = REF_BUILDERS.get(name, build)
+        ref_model, _ = ref_build(pm)
+        ref_cfg = dict(draws=min(4 * cfg["draws"], 40000),
+                       tune=max(cfg["tune"], 2000), chains=4,
+                       target_accept=0.95)
+        ref_trace = pm.sample(model=ref_model, progressbar=False,
+                              random_seed=7, trace=list(ess_vars),
+                              record_stats=["diverging"],
+                              compute_convergence_checks=False, **ref_cfg)
+        ref_rhat_tbl = pm.rhat(ref_trace, var_names=ess_vars)
+        ref_rhat = float(max(np.max(np.asarray(ref_rhat_tbl[v]))
+                             for v in ess_vars))
+        bench_m = posterior_moments(pm, trace, ess_vars)
+        ref_m = posterior_moments(pm, ref_trace, ess_vars)
+        check = moment_check(bench_m, ref_m)
         vs_baseline = None
         base_path = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "BASELINE_CPU.json")
@@ -182,7 +259,9 @@ def main():
             with open(base_path) as f:
                 base_cfg = json.load(f).get("configs", {}).get(name, {})
             if base_cfg.get("ess_per_sec") and \
-                    base_cfg.get("chains") == chains:
+                    base_cfg.get("chains") == chains and \
+                    base_cfg.get("draws") == cfg["draws"] and \
+                    base_cfg.get("tune") == cfg["tune"]:
                 vs_baseline = round(
                     (ess / wall) / float(base_cfg["ess_per_sec"]), 2)
         print(json.dumps({
@@ -190,6 +269,19 @@ def main():
             "ess_min": round(ess, 1), "wall_s": round(wall, 2),
             "rhat_max": round(rhat, 4), **cfg,
             "vs_baseline": vs_baseline,
+            "moment_check": "pass" if check["pass"] else "FAIL",
+            "moment_max_z": check["max_z"],
+            "moment_max_sd_rel": check["max_sd_rel"],
+            "moments": {v: {"mean": [round(x, 3) for x in
+                                     bench_m[v]["mean"]],
+                            "sd": [round(x, 3) for x in bench_m[v]["sd"]]}
+                        for v in ess_vars},
+            "ref_moments": {v: {"mean": [round(x, 3) for x in
+                                         ref_m[v]["mean"]],
+                                "sd": [round(x, 3) for x in
+                                       ref_m[v]["sd"]]}
+                            for v in ess_vars},
+            "ref_rhat_max": round(ref_rhat, 4),
             "backend": jax.default_backend(),
         }), flush=True)
 
