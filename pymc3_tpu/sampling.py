@@ -486,6 +486,19 @@ def _device_sample(model, step, q0, draws, tune, random_seed, progressbar,
     tune_arr = jnp.asarray(tune, jnp.int32)
     total_arr = jnp.asarray(total, jnp.int32)
 
+    # Stan-style step-size probe before warmup (nuts.find_reasonable_eps):
+    # dual averaging then starts at an eps matched to the posterior scale
+    # instead of spending the first tuning block in max-depth trees
+    # recovering from the 0.25 d^-1/4 guess. Skipped on warm resume — the
+    # checkpointed DA state already carries the adapted eps.
+    if tune > 0 and warm_states is None:
+        from .step_methods.hmc.nuts import find_reasonable_eps
+        methods = step.methods if isinstance(step, CompoundStep) else [step]
+        for m in methods:
+            if getattr(m, "adapt_step_size", False) and \
+                    hasattr(m, "step_size") and hasattr(m, "potential"):
+                m.step_size = find_reasonable_eps(m, q0, random_seed)
+
     def _mask_padding(idx, new, old):
         """Freeze carry updates for the equalize-blocks padding steps past
         ``total`` so the checkpointed final_state (and every chain's RNG)

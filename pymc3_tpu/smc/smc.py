@@ -95,27 +95,62 @@ def _beta_stage(ll_raw, old_beta, rN):
     return new_beta, w, lml_inc
 
 
-@partial(jax.jit, static_argnums=())
-def _systematic_indices(key, weights):
+@partial(jax.jit, static_argnums=(2,))
+def _systematic_indices(key, weights, sharding=None):
     """Systematic resampling indices: one uniform offset, a cumsum, and a
     vectorized ``searchsorted`` — all on device (reference host path:
-    ``np.searchsorted`` over the full particle set, ``smc.py:201-213``)."""
+    ``np.searchsorted`` over the full particle set, ``smc.py:201-213``).
+
+    Sharded case: the weight vector is REPLICATED first (one all-gather,
+    4 MB at 1M f32 particles) so the cumsum runs locally — GSPMD lowers a
+    cumsum ALONG a sharded axis into a collective-permute chain with a
+    rendezvous per window (measured 82 s vs 13 ms at 1M x 2 CPU devices,
+    round-5 scaling leg). The query positions stay sharded, so each
+    device binary-searches only its own output rows and the returned
+    index vector is sharded like the particle axis."""
     n = weights.shape[0]
     dtype = weights.dtype
+    if sharding is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep = NamedSharding(sharding.mesh, P())
+        weights = jax.lax.with_sharding_constraint(weights, rep)
     u = jax.random.uniform(key, (), dtype)
     positions = (u + jnp.arange(n, dtype=dtype)) / n
+    if sharding is not None:
+        positions = jax.lax.with_sharding_constraint(positions, sharding)
     cum = jnp.cumsum(weights)
     cum = cum / cum[-1]
     idx = jnp.searchsorted(cum, positions)
     return jnp.clip(idx, 0, n - 1)
 
 
-@jax.jit
-def _resample_gather(key, weights, arrays):
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnums=(3,))
+def _resample_gather(key, weights, arrays, sharding=None):
     """Gather every per-particle array through the systematic indices in a
     single jitted program (cross-device movement happens here and only
-    here when the particle axis is mesh-sharded)."""
-    idx = _systematic_indices(key, weights)
+    here when the particle axis is mesh-sharded).
+
+    Sharded case: replicate the SOURCE (one all-gather — 8 MB for 1M x 2
+    f32 particles), keep the index vector sharded, and let each device
+    gather its own output rows locally. Without the explicit constraints
+    GSPMD lowers a take along the sharded axis into per-element
+    cross-device collectives — measured 85 s/stage at 1M particles on a
+    2-device mesh vs 6 ms for the local gather (round-5 scaling leg)."""
+    idx = _systematic_indices(key, weights, sharding)
+    if sharding is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep = NamedSharding(sharding.mesh, P())
+        idx = jax.lax.with_sharding_constraint(idx, sharding)
+
+        def g(a):
+            a_rep = jax.lax.with_sharding_constraint(a, rep)
+            return jax.lax.with_sharding_constraint(
+                jnp.take(a_rep, idx, axis=0), sharding)
+
+        return jax.tree_util.tree_map(g, arrays)
     return jax.tree_util.tree_map(lambda a: jnp.take(a, idx, axis=0), arrays)
 
 
@@ -305,7 +340,7 @@ class SMC:
                   self.acc_per_chain, self.scalings)
         (self.posterior, self.prior_logp, self.likelihood_logp,
          self.acc_per_chain, self.scalings) = _resample_gather(
-            self._split(), self.weights, arrays)
+            self._split(), self.weights, arrays, self.sharding)
         self.tempered_posterior_logp = self.prior_logp + \
             self.beta * self.likelihood_logp
 

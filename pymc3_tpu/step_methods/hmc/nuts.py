@@ -307,6 +307,70 @@ def nuts_draw(key, start: IntegrationState, h0, step_size, var,
     return lax.while_loop(cond, body, init)
 
 
+def find_reasonable_eps(step, q0_batch, seed):
+    """Stan-style "find reasonable step size" probe (Hoffman & Gelman
+    2014 Alg. 4 / Stan's ``init_stepsize``): geometric search for an eps
+    whose ONE-leapfrog acceptance, pooled over all chains, lands in
+    [0.25, 0.9].
+
+    Dual averaging seeded from the dimension heuristic 0.25 d^-1/4
+    overshoots small on tightly-scaled posteriors; at 8192 lockstep
+    chains the first tuning block then runs hundreds of max-depth
+    (2^10-leapfrog) trees — minutes of wall before the first kept draw
+    (r4 decomposition, BENCHMARKS.md). One vmapped leapfrog per probe
+    iteration (<=30) costs milliseconds and starts the bar where the
+    posterior actually lives. Returns a float eps (the input step_size
+    unchanged if probing is not applicable)."""
+    if getattr(step, "_partial", False):
+        return step.step_size
+    q0 = jnp.asarray(q0_batch, floatX())
+    pot = step.potential.init_kernel_state()
+    var = kernel_mass(pot)
+    logp_fn = step._logp_fn
+
+    @jax.jit
+    def probe(q0, key):
+        lp = jax.vmap(jax.value_and_grad(logp_fn))
+        logp0, grad0 = lp(q0)
+        keys = jax.random.split(key, q0.shape[0])
+        p0 = jax.vmap(lambda k: kernel_momentum(k, pot))(keys)
+        v0 = jax.vmap(lambda p: mass_velocity(var, p))(p0)
+        h0 = 0.5 * jnp.sum(p0 * v0, axis=-1) - logp0
+
+        def accept_at(eps):
+            p_half = p0 + 0.5 * eps * grad0
+            q1 = q0 + eps * jax.vmap(lambda p: mass_velocity(var, p))(p_half)
+            logp1, grad1 = lp(q1)
+            p1 = p_half + 0.5 * eps * grad1
+            v1 = jax.vmap(lambda p: mass_velocity(var, p))(p1)
+            h1 = 0.5 * jnp.sum(p1 * v1, axis=-1) - logp1
+            de = h0 - h1
+            a = jnp.where(jnp.isfinite(de),
+                          jnp.exp(jnp.minimum(de, 0.0)), 0.0)
+            return jnp.mean(a)
+
+        def cond(c):
+            eps, a, it = c
+            return ((a > 0.9) | (a < 0.25)) & (it < 30) & \
+                (eps > 1e-10) & (eps < 1e4)
+
+        def body(c):
+            eps, a, it = c
+            eps2 = jnp.where(a > 0.9, eps * 2.0, eps * 0.5)
+            return eps2, accept_at(eps2), it + 1
+
+        eps0 = jnp.asarray(step.step_size, floatX())
+        eps, a, _ = lax.while_loop(
+            cond, body, (eps0, accept_at(eps0), jnp.asarray(0, jnp.int32)))
+        return eps, a
+
+    eps, a = probe(q0, jax.random.PRNGKey((int(seed) ^ 0x5EED) & 0x7FFFFFFF))
+    eps = float(eps)
+    if np.isfinite(eps) and 1e-10 < eps < 1e4:
+        return eps
+    return step.step_size
+
+
 class NutsKernelState(NamedTuple):
     """Per-chain NUTS state threaded through the draw scan."""
 

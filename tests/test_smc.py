@@ -173,3 +173,42 @@ def test_indefinite_particle_cov_is_flagged():
     else:
         # platform factored it anyway: ok must then be True
         assert bool(ok)
+
+
+class TestShardedSMC:
+    """Particle-sharded SMC on the virtual device mesh (SURVEY §2.4 SMC
+    particle parallelism; the round-5 scaling leg)."""
+
+    def _run(self, devices):
+        import jax
+        with pm.Model() as model:
+            x = pm.Normal("x", 0.0, 1.0, shape=2)
+            pm.Normal("y", mu=x, sigma=0.5,
+                      observed=np.array([1.0, -1.0], np.float32))
+        trace = pm.sample_smc(draws=4096, model=model, random_seed=1,
+                              devices=devices)
+        return np.asarray(trace["x"])
+
+    def test_sharded_matches_posterior(self):
+        import jax
+        xs = self._run(jax.devices()[:4])
+        # conjugate posterior: mean y*(1/0.25)/(1+4) etc.
+        post_mean = np.array([1.0, -1.0]) * (1 / 0.25) / (1 + 1 / 0.25)
+        np.testing.assert_allclose(xs.mean(axis=0), post_mean, atol=0.1)
+
+    def test_sharded_resample_indices_match_unsharded(self):
+        """The sharding constraints in the resampling path must not
+        change the selected indices (replicate-then-local-gather is a
+        pure lowering change)."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from pymc3_tpu.parallel import make_mesh
+        from pymc3_tpu.smc.smc import _systematic_indices
+        mesh = make_mesh(jax.devices()[:4], axis_name="particles")
+        sh = NamedSharding(mesh, P("particles"))
+        key = jax.random.PRNGKey(3)
+        w = jax.random.dirichlet(key, np.ones(4096, np.float32))
+        idx_plain = np.asarray(_systematic_indices(key, w))
+        idx_shard = np.asarray(_systematic_indices(
+            key, jax.device_put(w, sh), sh))
+        np.testing.assert_array_equal(idx_plain, idx_shard)
