@@ -47,18 +47,44 @@ class BaseTrace(ABC):
         self.vars = vars
         self.varnames = [get_var_name(var) for var in vars]
 
-        # compute var shapes/dtypes from the test point
+        # compute var shapes/dtypes from the test point. This metadata is
+        # identical for every chain trace of a model, and evaluating the
+        # test point synchronizes with the device — at 8192 chains the
+        # per-chain recompute was 221 s of device round-trips in
+        # _flush_to_traces (r5 profile). Cache it on the model, keyed by
+        # the var list and the pm.Data version counters (set_data can
+        # change shapes).
         if test_point is None:
-            test_point = model.test_point
-        test_point_ = dict(test_point)
-        # fill in derived quantities (views, deterministics)
-        fn = model.makefn(vars)
-        values = fn(test_point_)
-        self.var_shapes = {name: np.shape(v)
-                           for name, v in zip(self.varnames, values)}
-        self.var_dtypes = {name: np.asarray(v).dtype
-                           for name, v in zip(self.varnames, values)}
-        self._fn = fn
+            key = (tuple(self.varnames), tuple(
+                (n, node.version)
+                for n, node in sorted(model.named_vars.items())
+                if hasattr(node, "version") and hasattr(node, "set_value")))
+            cache = getattr(model, "_trace_meta_cache", None)
+            if cache is None:
+                cache = model._trace_meta_cache = {}
+            hit = cache.get(key)
+            if hit is None:
+                fn = model.makefn(vars)
+                values = fn(dict(model.test_point))
+                shapes = {name: np.shape(v)
+                          for name, v in zip(self.varnames, values)}
+                dtypes = {name: np.asarray(v).dtype
+                          for name, v in zip(self.varnames, values)}
+                cache[key] = hit = (fn, shapes, dtypes)
+            fn, shapes, dtypes = hit
+            self.var_shapes = dict(shapes)
+            self.var_dtypes = dict(dtypes)
+            self._fn = fn
+        else:
+            test_point_ = dict(test_point)
+            # fill in derived quantities (views, deterministics)
+            fn = model.makefn(vars)
+            values = fn(test_point_)
+            self.var_shapes = {name: np.shape(v)
+                               for name, v in zip(self.varnames, values)}
+            self.var_dtypes = {name: np.asarray(v).dtype
+                               for name, v in zip(self.varnames, values)}
+            self._fn = fn
         self.chain = None
         self._is_base_setup = False
         self.sampler_vars = None
@@ -227,7 +253,16 @@ class MultiTrace:
     @property
     def stat_names(self):
         """Union of per-chain sampler-statistic names; all chains must
-        share one layout (they come from the same jitted kernel)."""
+        share one layout (they come from the same jitted kernel).
+
+        Memoized: the report pass queries a stat per chain, and an
+        uncached O(chains) union per query was O(chains^2) — 88 s at
+        8192 chains (r5 profile). ``merge_traces`` invalidates.
+        (__dict__ access: MultiTrace.__getattr__ resolves unknown names
+        as variable/stat lookups, which would recurse through here.)"""
+        cached = self.__dict__.get("_stat_names_cache")
+        if cached is not None:
+            return cached
         names = set()
         layout = None
         for strace in self._straces.values():
@@ -237,6 +272,7 @@ class MultiTrace:
                 raise ValueError(
                     "Chains do not share a common sampler-statistic layout")
             names |= strace.stat_names
+        self._stat_names_cache = names
         return names
 
     def add_values(self, vals, overwrite=False) -> None:
@@ -348,6 +384,7 @@ def merge_traces(mtraces: List[MultiTrace]) -> MultiTrace:
             max_chain += 1
             strace.chain = max_chain
             base_mtrace._straces[max_chain] = strace
+    base_mtrace._stat_names_cache = None
     base_mtrace._report = base_mtrace.report
     return base_mtrace
 

@@ -12,6 +12,7 @@ backend once, replacing the per-draw pipe round-trip.
 from __future__ import annotations
 
 import logging
+import os
 import time
 import warnings
 from collections import defaultdict
@@ -491,7 +492,8 @@ def _device_sample(model, step, q0, draws, tune, random_seed, progressbar,
     # instead of spending the first tuning block in max-depth trees
     # recovering from the 0.25 d^-1/4 guess. Skipped on warm resume — the
     # checkpointed DA state already carries the adapted eps.
-    if tune > 0 and warm_states is None:
+    if tune > 0 and warm_states is None and \
+            not os.environ.get("PYMC3_TPU_NO_EPS_PROBE"):
         from .step_methods.hmc.nuts import find_reasonable_eps
         methods = step.methods if isinstance(step, CompoundStep) else [step]
         for m in methods:
@@ -709,6 +711,20 @@ def _flush_to_traces(model, step, result, trace_arg, chain_idx, chains,
             if streamed:
                 dtypes = {k: dt for k, dt in dtypes.items() if k in streamed}
             stats_dtypes.append(dtypes)
+    # Materialize the final kernel state ONCE: np.asarray on a device
+    # array is a fresh device->host transfer every call, and doing it
+    # per chain per leaf re-shipped the same ~70 MB state 8192 times —
+    # ~340 s of a 410 s run at 8192 chains on the tunneled link (r5
+    # time-to-first-draw decomposition). One transfer per leaf, then
+    # zero-copy per-chain views.
+    state_leaves = None
+    if result.get("final_state") is not None:
+        try:
+            leaves, _ = jax.tree_util.tree_flatten(result["final_state"])
+            state_leaves = [np.asarray(l) for l in leaves]
+        except Exception:
+            state_leaves = None
+
     traces = []
     for ci in range(chains):
         if isinstance(trace_arg, BaseTrace):
@@ -742,7 +758,9 @@ def _flush_to_traces(model, step, result, trace_arg, chain_idx, chains,
                         if src.get(k) is not None})
             strace.record_batch(chain_vals, nkept, stats_batch)
         # warmup-state checkpoint (TPU extension, SURVEY §5)
-        strace.warmup_state = _extract_warmup_state(result["final_state"], ci)
+        strace.warmup_state = None if state_leaves is None else {
+            f"leaf{i}": (leaf[ci] if leaf.ndim > 0 else leaf)
+            for i, leaf in enumerate(state_leaves)}
         strace.close()
         traces.append(strace)
     return traces
@@ -750,7 +768,7 @@ def _flush_to_traces(model, step, result, trace_arg, chain_idx, chains,
 
 def _restore_warmup_state(template_state, warm_states):
     """Rebuild the (chains, ...) kernel-state pytree from per-chain
-    checkpoints written by ``_extract_warmup_state`` (leaf-ordered dict).
+    checkpoints written by ``_flush_to_traces`` (leaf-ordered dict).
     Falls back to the fresh template when the structure does not match
     (e.g. resuming with a different stepper)."""
     leaves, treedef = jax.tree_util.tree_flatten(template_state)
@@ -767,15 +785,6 @@ def _restore_warmup_state(template_state, warm_states):
                      f"kernel state ({e}); resuming with fresh adaptation")
         return template_state
     return jax.tree_util.tree_unflatten(treedef, stacked)
-
-
-def _extract_warmup_state(final_state, ci):
-    try:
-        leaves, _ = jax.tree_util.tree_flatten(final_state)
-        return {f"leaf{i}": np.asarray(l)[ci] if np.ndim(l) > 0 else
-                np.asarray(l) for i, l in enumerate(leaves)}
-    except Exception:
-        return None
 
 
 def _attach_sample_stats_warnings(mtrace, step, tune, model=None):

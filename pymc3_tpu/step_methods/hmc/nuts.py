@@ -367,6 +367,8 @@ def find_reasonable_eps(step, q0_batch, seed):
     eps, a = probe(q0, jax.random.PRNGKey((int(seed) ^ 0x5EED) & 0x7FFFFFFF))
     eps = float(eps)
     if np.isfinite(eps) and 1e-10 < eps < 1e4:
+        # a calibrated eps0 gets the gentle shrinkage target (see da_init)
+        step._da_mu_scale = 2.0
         return eps
     return step.step_size
 
@@ -469,7 +471,8 @@ class NUTS(GradientSharedStep):
         lp_fn = lambda x: self._kernel_logp(x, q0)
         logp, grad = jax.value_and_grad(lp_fn)(x0)
         da = da_init(jnp.asarray(self.step_size, floatX()),
-                     target=self.target_accept)
+                     target=self.target_accept,
+                     mu_scale=getattr(self, "_da_mu_scale", 10.0))
         pot = self.potential.init_kernel_state()
         return NutsKernelState(q=x0, logp=logp, grad=grad, da=da, pot=pot,
                                rescue_cnt=jnp.asarray(0, jnp.int32),
@@ -516,6 +519,28 @@ class NUTS(GradientSharedStep):
             jnp.asarray(min(self.early_max_treedepth, self.max_treedepth),
                         jnp.int32),
             jnp.asarray(self.max_treedepth, jnp.int32))
+        if self.axis_name is not None:
+            # Harder cap while the POOLED mass matrix is still warming
+            # (first promotions at draws 3/10/25, quadpotential.py): on an
+            # ill-conditioned target the first ~25 draws otherwise run
+            # 2^8-leapfrog trees in lockstep across every lane — 75% of
+            # the first tuning block's wall at 8192 chains, with zero
+            # divergences (r5 decomposition). Truncated early trajectories
+            # cost mixing per chain, but the mass estimate pools across
+            # thousands of jittered chains, so cross-chain spread — not
+            # within-chain mixing — carries the early adaptation.
+            # Lockstep cost is the MAX lane depth per draw, not the mean:
+            # during the eps ramp a straggler lane at the cap charges
+            # every lane 2^cap leapfrogs (mean depth 5.0, max 8 measured
+            # over draws 32-100). Cap 6 through the early phase bounds
+            # the straggler tax at 4x the steady-state depth-4 draw.
+            mtd = jnp.where(
+                tctx.tune & (tctx.step_idx < 32),
+                jnp.asarray(min(5, self.max_treedepth), jnp.int32),
+                jnp.where(early,
+                          jnp.asarray(min(6, self.max_treedepth),
+                                      jnp.int32),
+                          mtd))
 
         tree = nuts_draw(k_tree, start, h0, eps, var, lp_fn, mtd,
                          jnp.asarray(self.Emax, floatX()),

@@ -149,6 +149,23 @@ def diag_adapt_update(state: DiagAdaptState, sample, tune,
 
     n = state.n_samples + 1
     window_end = (n % adaptation_window) == 0
+    if axis_name is not None:
+        # Early window promotions for POOLED adaptation: with C pooled
+        # chains every draw contributes C mass-matrix samples, so by
+        # draw 3 the background estimator is already excellent at large
+        # C — while the foreground still carries the init prior (weight
+        # 10 PER CHAIN = 10 C pooled) and the reference's first promotion
+        # waits 101 draws. On an ill-conditioned target that means ~100
+        # draws of max-depth trees on a near-identity mass: measured
+        # 292 s for the first 25 draws of radon at 8192 chains (r5
+        # time-to-first-draw decomposition). Promote at n = 3/10/25 once
+        # the pooled sample count clears 1024. lax.psum of a constant
+        # folds at compile time (axis sizes are static), so this costs
+        # nothing per draw.
+        pooled_n = jax.lax.psum(jnp.asarray(1.0, floatX()), axis_name)
+        early = (n == 3) | (n == 10) | (n == 25)
+        window_end = window_end | (
+            early & (pooled_n * n.astype(floatX()) >= 1024.0))
 
     zero = welford_init(state.var.shape[-1])
     # promote bg -> fg at window end, reset bg

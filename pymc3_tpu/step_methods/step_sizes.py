@@ -29,7 +29,16 @@ class DAState(NamedTuple):
     tuned_count: jnp.ndarray
 
 
-def da_init(initial_step, target=0.8):
+def da_init(initial_step, target=0.8, mu_scale=10.0):
+    """``mu_scale`` sets the shrinkage target mu = log(mu_scale * eps0).
+
+    The reference's 10x (Hoffman & Gelman) assumes eps0 is a blind
+    dimension heuristic worth exploring above. When eps0 comes from the
+    one-leapfrog probe (``nuts.find_reasonable_eps``) the 10x target
+    forces a first-draws overshoot whose low acceptance poisons hbar and
+    crashes eps ~20x below eps0 for ~25 draws — at 8192 lockstep chains
+    that was 75% of the first tuning block's wall (max-depth trees, zero
+    divergences; r5 decomposition). Probed inits pass mu_scale=2."""
     initial_step = jnp.asarray(initial_step, dtype=floatX())
     z = jnp.zeros_like(initial_step)
     return DAState(
@@ -37,7 +46,7 @@ def da_init(initial_step, target=0.8):
         log_bar_step=jnp.log(initial_step),
         hbar=z,
         count=jnp.ones_like(initial_step),
-        mu=jnp.log(10.0) + jnp.log(initial_step),
+        mu=jnp.log(mu_scale) + jnp.log(initial_step),
         tuned_accept_sum=z,
         tuned_count=z,
     )
