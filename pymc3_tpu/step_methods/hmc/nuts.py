@@ -367,8 +367,10 @@ def find_reasonable_eps(step, q0_batch, seed):
     eps, a = probe(q0, jax.random.PRNGKey((int(seed) ^ 0x5EED) & 0x7FFFFFFF))
     eps = float(eps)
     if np.isfinite(eps) and 1e-10 < eps < 1e4:
-        # a calibrated eps0 gets the gentle shrinkage target (see da_init)
-        step._da_mu_scale = 2.0
+        # The shrinkage target stays at the standard 10x (da_init): a
+        # 2x target was tried and measurably biased the tuned eps high
+        # on short tunes (GP asv row: 65 vs 81 ESS/s), while the warmup
+        # depth caps already bound the cost of the 10x overshoot.
         return eps
     return step.step_size
 

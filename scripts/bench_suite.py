@@ -169,7 +169,11 @@ def posterior_moments(pm, trace, var_names):
     out = {}
     ess_tbl = pm.ess(trace, var_names=var_names)
     for v in var_names:
-        vals = np.asarray(trace[v]).reshape(len(trace[v]), -1)
+        # float64 accumulation: a sequential float32 reduce over 1M+
+        # draws drifts ~0.2 posterior sds (caught by this file's own
+        # z-gate at 512 chains — the "bias" was the benchmark script's)
+        vals = np.asarray(trace[v], dtype=np.float64).reshape(
+            len(trace[v]), -1)
         mean = vals.mean(axis=0)
         sd = vals.std(axis=0)
         ess = np.atleast_1d(np.asarray(ess_tbl[v], dtype=np.float64)).ravel()
