@@ -14,10 +14,10 @@ class TestNUTSUniform(sf.NutsFixture, sf.UniformFixture):
 
 
 class TestNUTSNormal(sf.NutsFixture, sf.NormalFixture):
-    n_samples = 2000
+    n_samples = 4000
     tune = 500
-    chains = 2
-    min_n_eff = 500
+    chains = 4
+    min_n_eff = 1000
     atol = 0.08
 
 
