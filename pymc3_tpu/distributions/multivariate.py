@@ -405,27 +405,36 @@ def WishartBartlett(name, S, nu, is_cholesky=False, return_cholesky=False,
 
 
 def _lkj_normalizing_constant(eta, n):
-    """Normalizing constant of the LKJ correlation density (host-side; eta
-    and n are static)."""
+    """log c_n(eta) of the normalized LKJ density
+    p(R) = c_n(eta) * det(R)^(eta-1), host-side (eta and n are static).
+
+    The closed-form expression below (cf. ``multivariate.py:985``) computes
+    log Z = log \\int det(R)^(eta-1) dR, i.e. -log c; the reference *adds*
+    that to logp, leaving its LKJ densities off by 2*log Z — invisible to
+    MCMC (eta, n are fixed hyperparameters) but wrong for exact densities
+    and SMC evidence.  We return -log Z so call sites add a genuinely
+    normalizing constant; verified against the n=2 Beta(eta, eta) identity,
+    the n=3 elliptope volume pi^2/2, and numerical integration of the n=2
+    LKJCholeskyCov density (tests/test_multivariate_matrix.py)."""
     from scipy.special import gammaln as sgammaln
     eta = float(eta)
     n = int(n)
     if eta == 1:
-        result = float(np.sum(sgammaln(2.0 * np.arange(1, (n - 1) // 2 + 1))))
+        log_z = float(np.sum(sgammaln(2.0 * np.arange(1, (n - 1) // 2 + 1))))
         if n % 2 == 1:
-            result += (0.25 * (n ** 2 - 1) * np.log(np.pi)
-                       - 0.25 * (n - 1) ** 2 * np.log(2.0)
-                       - (n - 1) * sgammaln((n + 1) / 2))
+            log_z += (0.25 * (n ** 2 - 1) * np.log(np.pi)
+                      - 0.25 * (n - 1) ** 2 * np.log(2.0)
+                      - (n - 1) * sgammaln((n + 1) / 2))
         else:
-            result += (0.25 * n * (n - 2) * np.log(np.pi)
-                       + 0.25 * (3 * n ** 2 - 4 * n) * np.log(2.0)
-                       + n * sgammaln(n / 2) - (n - 1) * sgammaln(n))
+            log_z += (0.25 * n * (n - 2) * np.log(np.pi)
+                      + 0.25 * (3 * n ** 2 - 4 * n) * np.log(2.0)
+                      + n * sgammaln(n / 2) - (n - 1) * sgammaln(n))
     else:
-        result = -(n - 1) * sgammaln(eta + 0.5 * (n - 1))
+        log_z = -(n - 1) * sgammaln(eta + 0.5 * (n - 1))
         k = np.arange(1, n)
-        result += float(np.sum(0.5 * k * np.log(np.pi)
-                               + sgammaln(eta + 0.5 * (n - 1 - k))))
-    return result
+        log_z += float(np.sum(0.5 * k * np.log(np.pi)
+                              + sgammaln(eta + 0.5 * (n - 1 - k))))
+    return -log_z
 
 
 class LKJCholeskyCov(Continuous):
