@@ -284,6 +284,96 @@ def test_kroneckernormal_vs_dense(dims, sigma):
     np.testing.assert_allclose(got, want, rtol=TOL(10.0), atol=TOL(10.0))
 
 
+class TestRandomMoments:
+    """random() draws reproduce the analytic moments of each family —
+    correctness beyond the shape contracts in test_distributions_random."""
+
+    def test_mvnormal_all_parametrizations(self):
+        cov = _spd(3, "corr", seed=20)
+        mu = np.array([1.0, -0.5, 0.2])
+        np.random.seed(21)
+        for kwargs in _param_variants(cov).values():
+            d = pm.MvNormal.dist(mu=mu, **kwargs)
+            draws = np.asarray(d.random(size=8000))
+            np.testing.assert_allclose(draws.mean(0), mu, atol=0.06)
+            np.testing.assert_allclose(np.cov(draws.T), cov, atol=0.08)
+
+    def test_mvstudentt_scales_cov(self):
+        cov = _spd(2, "diag", seed=22)
+        nu = 7.0
+        d = pm.MvStudentT.dist(nu=nu, mu=np.zeros(2), cov=cov)
+        np.random.seed(23)
+        draws = np.asarray(d.random(size=20000))
+        # Var = nu/(nu-2) * Sigma
+        np.testing.assert_allclose(np.cov(draws.T), cov * nu / (nu - 2.0),
+                                   rtol=0.1, atol=0.05)
+
+    def test_wishart_mean(self):
+        V = _spd(2, "corr", seed=24)
+        nu = 9
+        with pytest.warns(UserWarning, match="Wishart"):
+            d = pm.Wishart.dist(nu=nu, V=V)
+        np.random.seed(25)
+        draws = np.asarray(d.random(size=4000))
+        np.testing.assert_allclose(draws.mean(0), nu * V, rtol=0.08,
+                                   atol=0.1)
+
+    def test_dirichlet_moments(self):
+        a = np.array([1.0, 3.0, 6.0])
+        d = pm.Dirichlet.dist(a=a)
+        np.random.seed(26)
+        draws = np.asarray(d.random(size=12000))
+        a0 = a.sum()
+        np.testing.assert_allclose(draws.mean(0), a / a0, atol=0.01)
+        want_var = a * (a0 - a) / (a0 ** 2 * (a0 + 1.0))
+        np.testing.assert_allclose(draws.var(0), want_var, rtol=0.1)
+
+    def test_multinomial_mean_cov(self):
+        n, p = 40, np.array([0.2, 0.3, 0.5])
+        d = pm.Multinomial.dist(n=n, p=p)
+        np.random.seed(27)
+        draws = np.asarray(d.random(size=8000))
+        np.testing.assert_allclose(draws.mean(0), n * p, rtol=0.03)
+        want_cov = n * (np.diag(p) - np.outer(p, p))
+        np.testing.assert_allclose(np.cov(draws.T), want_cov, atol=0.35)
+
+    def test_lkjcorr_r12_beta_identity(self):
+        """(1 + r12)/2 ~ Beta(eta - 1 + n/2, .) marginally for every pair."""
+        eta, n = 2.0, 3
+        d = pm.LKJCorr.dist(eta=eta, n=n)
+        np.random.seed(28)
+        draws = np.asarray(d.random(size=6000))  # (., 3) packed upper tri
+        b = eta - 1.0 + n / 2.0
+        want_mean, want_var = 0.0, 4 * (b * b / ((2 * b) ** 2 * (2 * b + 1)))
+        np.testing.assert_allclose(draws.mean(0), want_mean, atol=0.03)
+        np.testing.assert_allclose(draws.var(0), want_var, rtol=0.15)
+
+    def test_matrixnormal_row_col_cov(self):
+        rowcov = _spd(2, "corr", seed=29)
+        colcov = _spd(3, "diag", seed=30)
+        d = pm.MatrixNormal.dist(mu=np.zeros((2, 3)), rowcov=rowcov,
+                                 colcov=colcov, shape=(2, 3))
+        np.random.seed(31)
+        draws = np.asarray(d.random(size=12000))  # (., 2, 3)
+        # E[X X^T] = rowcov * tr(colcov); E[X^T X] = colcov * tr(rowcov)
+        xxt = np.einsum("bij,bkj->ik", draws, draws) / draws.shape[0]
+        xtx = np.einsum("bji,bjk->ik", draws, draws) / draws.shape[0]
+        np.testing.assert_allclose(xxt, rowcov * np.trace(colcov),
+                                   rtol=0.1, atol=0.1)
+        np.testing.assert_allclose(xtx, colcov * np.trace(rowcov),
+                                   rtol=0.1, atol=0.1)
+
+    def test_kroneckernormal_cov(self):
+        covs = [_spd(2, "diag", seed=32), _spd(2, "corr", seed=33)]
+        sigma = 0.5
+        d = pm.KroneckerNormal.dist(mu=np.zeros(4), covs=covs, sigma=sigma)
+        np.random.seed(34)
+        draws = np.asarray(d.random(size=15000))
+        want = np.kron(covs[0], covs[1]) + sigma ** 2 * np.eye(4)
+        np.testing.assert_allclose(np.cov(draws.T), want, rtol=0.12,
+                                   atol=0.12)
+
+
 class TestBatchedValues:
     """(batch, event) value matrices hit the batched quadratic-form path."""
 
