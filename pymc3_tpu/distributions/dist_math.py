@@ -169,8 +169,12 @@ def MvNormal_logp(cov, delta):
     diag = jnp.diagonal(chol, axis1=-2, axis2=-1)
     ok = jnp.all(diag > 0) & jnp.all(jnp.isfinite(diag))
     safe_chol = jnp.where(ok, chol, jnp.eye(k, dtype=cov.dtype))
-    sol = jsl.solve_triangular(safe_chol, delta[..., None], lower=True)[..., 0]
-    quad = jnp.sum(sol ** 2, axis=-1)
+    # triangular_solve wants matching batch ranks: solve against delta^T
+    # (k, batch) once instead of broadcasting the (k, k) factor
+    d2 = jnp.atleast_2d(delta)
+    sol = jsl.solve_triangular(safe_chol, d2.reshape(-1, k).T, lower=True)
+    quad = jnp.sum(sol ** 2, axis=0).reshape(d2.shape[:-1])
+    quad = quad if delta.ndim > 1 else quad[0]
     logdet = jnp.sum(jnp.log(jnp.diagonal(safe_chol, axis1=-2, axis2=-1)))
     out = -0.5 * (k * jnp.log(2.0 * jnp.pi) + quad) - logdet
     return jnp.where(ok, out, -jnp.inf)
