@@ -60,14 +60,22 @@ class ContextMeta(type):
 
     @property
     def context_class(cls):
-        return cls
+        # anchor the stack at the most basal ContextMeta class so Model
+        # subclasses (reference NewModel pattern, test_model.py:28) share
+        # one stack instead of lazily creating split-brain per-class stores
+        root = cls
+        for base in cls.__mro__:
+            if isinstance(base, ContextMeta):
+                root = base
+        return root
 
     def get_contexts(cls) -> List:
-        if not hasattr(cls, "_contexts"):
-            cls._contexts = threading.local()
-        if not hasattr(cls._contexts, "stack"):
-            cls._contexts.stack = []
-        return cls._contexts.stack
+        root = cls.context_class
+        if "_contexts" not in root.__dict__:
+            root._contexts = threading.local()
+        if not hasattr(root._contexts, "stack"):
+            root._contexts.stack = []
+        return root._contexts.stack
 
     def get_context(cls, error_if_none=True):
         stack = cls.get_contexts()
