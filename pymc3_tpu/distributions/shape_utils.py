@@ -44,20 +44,28 @@ def shapes_broadcasting(*args, raise_exception=False):
 
 
 def broadcast_dist_samples_shape(shapes, size=None):
-    """Broadcast shapes which may have a leading ``size`` prepend (cf. ``:114``)."""
+    """Broadcast shapes which may carry a leading ``size`` prepend
+    (cf. ``shape_utils.py:114``).  The prepend is ignored while deciding
+    whether the core shapes broadcast; it re-enters the result only through
+    the shapes that actually carried it (with broadcasting axes inserted
+    between the prepend and the core), so plain shapes never get a
+    spurious ``size`` prefix."""
     if size is None:
         return shapes_broadcasting(*shapes, raise_exception=True)
+    shapes = [tuple(s) for s in shapes]
     _size = to_tuple(size)
-    _shapes = [
-        s if s[:len(_size)] != _size else s[len(_size):]
-        for s in (tuple(sh) for sh in shapes)
+
+    def _has_prepend(s):
+        return _size == s[:min(len(_size), len(s))]
+
+    cores = [s[len(_size):] if _has_prepend(s) else s for s in shapes]
+    core_shape = shapes_broadcasting(*cores, raise_exception=True)
+    padded = [
+        _size + (1,) * (len(core_shape) - len(core)) + core
+        if _has_prepend(s) else s
+        for s, core in zip(shapes, cores)
     ]
-    try:
-        broadcast_shape = shapes_broadcasting(*_shapes, raise_exception=True)
-    except ValueError:
-        b = shapes_broadcasting(*shapes, raise_exception=True)
-        return b
-    return _size + broadcast_shape
+    return shapes_broadcasting(*padded, raise_exception=True)
 
 
 def get_broadcastable_dist_samples(samples, size=None, must_bcast_with=None,
@@ -73,7 +81,9 @@ def get_broadcastable_dist_samples(samples, size=None, must_bcast_with=None,
         shapes + ([must_bcast_with] if must_bcast_with else []), size=size)
     outs = []
     for s in samples:
-        if _size and s.shape[:len(_size)] == _size:
+        # min-slice prepend test matches the reference (``:285``): an empty
+        # size counts as a universal prepend, so everything pads to rank
+        if _size == s.shape[:min(len(_size), s.ndim)]:
             core = s.shape[len(_size):]
             core_out = out_shape[len(_size):]
             pad = len(core_out) - len(core)

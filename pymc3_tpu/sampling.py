@@ -1058,13 +1058,23 @@ def sample_prior_predictive(samples=500, model=None, vars=None,
     if random_seed is not None:
         np.random.seed(int(np.atleast_1d(random_seed)[0]))
 
+    # `samples` may be an int or a size tuple (reference semantics,
+    # tests/test_shape_handling.py:212): draws carry a `size`-shaped lead
+    # axis, with 1/(1,) collapsing to scalar draws for backwards compat
+    from .distributions.shape_utils import to_tuple
+    size = to_tuple(samples) if samples is not None else ()
+    if size == (1,):
+        size = ()
+    flat = int(np.prod(size, dtype=int)) if size else 1
+
     names = [v for v in vars_]
-    values = model.sample_forward(samples)
+    values = model.sample_forward(flat)
 
     data = {}
     for name in names:
         if name in values:
-            data[name] = values[name]
+            out = np.asarray(values[name])
+            data[name] = out.reshape(size + out.shape[1:])
     if data is None:
         raise AssertionError(f"No variables sampled: attempting to sample {names}")
     return data
