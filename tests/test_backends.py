@@ -332,3 +332,53 @@ class TestSQLiteViaSample:
             s.close()
             out = sqlite_mod.load(name).get_values("x")
         np.testing.assert_array_equal(out, vals.astype(out.dtype))
+
+
+class TestTracetab:
+    """Trace -> DataFrame conversion (cf. reference
+    ``tests/test_tracetab.py:1``)."""
+
+    def _trace(self):
+        import pymc3_tpu as pm
+        with pm.Model() as m:
+            pm.Normal("x", 0.0, 1.0)
+            pm.Normal("y", 0.0, 1.0, shape=(2, 2))
+        return pm.sample(draws=50, tune=20, chains=2, model=m,
+                         progressbar=False,
+                         compute_convergence_checks=False,
+                         random_seed=5)
+
+    def test_create_flat_names(self):
+        from pymc3_tpu.backends.tracetab import (create_flat_names,
+                                                 _create_shape)
+        assert create_flat_names("x", ()) == ["x"]
+        assert create_flat_names("x", (2,)) == ["x__0", "x__1"]
+        want2d = ["x__0_0", "x__0_1", "x__1_0", "x__1_1"]
+        assert create_flat_names("x", (2, 2)) == want2d
+        want3d = ["x__0_0_0", "x__0_0_1", "x__0_1_0", "x__0_1_1",
+                  "x__1_0_0", "x__1_0_1", "x__1_1_0", "x__1_1_1"]
+        assert create_flat_names("x", (2, 2, 2)) == want3d
+        # inverse recovers the shape from the labels
+        assert _create_shape(want2d) == (2, 2)
+        assert _create_shape(["x"]) == ()
+
+    def test_trace_to_dataframe_values(self):
+        from pymc3_tpu.backends.tracetab import trace_to_dataframe
+        trace = self._trace()
+        df = trace_to_dataframe(trace)
+        assert len(df) == 100  # chains concatenated
+        assert set(df.columns) >= {"x", "y__0_0", "y__1_1"}
+        np.testing.assert_allclose(df["x"].values,
+                                   trace.get_values("x", combine=True))
+        y = trace.get_values("y", combine=True)
+        np.testing.assert_allclose(df["y__0_1"].values, y[:, 0, 1])
+        # transformed columns excluded by default
+        assert not any(c.endswith("__") for c in df.columns)
+
+    def test_trace_to_dataframe_chain_arg(self):
+        from pymc3_tpu.backends.tracetab import trace_to_dataframe
+        trace = self._trace()
+        df0 = trace_to_dataframe(trace, chains=0)
+        assert len(df0) == 50
+        np.testing.assert_allclose(df0["x"].values,
+                                   trace.get_values("x", chains=0))
