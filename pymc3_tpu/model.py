@@ -873,6 +873,8 @@ class Model(WithMemoization, metaclass=ContextMeta):
                 continue
             if isinstance(rv, MultiObservedRV):
                 continue
+            if kind != "free":
+                self._refresh_observed_shape(rv)
             val = self._batched_random(rv.distribution, point, samples,
                                        batched)
             point[orig] = val
@@ -931,6 +933,7 @@ class Model(WithMemoization, metaclass=ContextMeta):
         for var in vars:
             var = self.named_vars.get(getattr(var, "name", var), var)
             if isinstance(var, (ObservedRV,)):
+                self._refresh_observed_shape(var)
                 draw = self._batched_random(var.distribution, batched_point,
                                             nsel, batched)
                 if size is not None:
@@ -953,6 +956,19 @@ class Model(WithMemoization, metaclass=ContextMeta):
             out.update(self._vmap_eval(det_vars, batched_point, batched,
                                        nsel))
         return out
+
+    def _refresh_observed_shape(self, rv):
+        """Observed RVs whose data lives in a pm.Data container must track
+        the container's *current* shape for forward draws: after
+        set_data() to a different number of rows, the build-time shape is
+        stale (reference semantics via shared variables,
+        ``tests/test_data_container.py:68``)."""
+        node = getattr(rv, "data_node", None)
+        if node is None:
+            return
+        cur = tuple(np.shape(np.asarray(node.test_value)))
+        if tuple(rv.distribution.shape or ()) != cur:
+            rv.distribution.shape = cur
 
     def set_data(self, name, values):
         """Mutate a pm.Data container (cf. ``model.py:1236``)."""
