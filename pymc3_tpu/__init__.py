@@ -114,7 +114,8 @@ from .ode import DifferentialEquation
 from . import plots
 from .plots import (
     traceplot, plot_posterior, forestplot, energyplot, autocorrplot,
-    densityplot, pairplot, compareplot, plot_posterior_predictive_glm,
+    densityplot, kdeplot, pairplot, compareplot,
+    plot_posterior_predictive_glm,
 )
 from .model_graph import model_to_graphviz
 
